@@ -1,0 +1,79 @@
+"""Frozen configuration dataclasses.
+
+The reference wires configuration through command-line flags on server
+binaries plus Perl pipeline scripts (SURVEY.md §5 "Config / flag system");
+here a single frozen ``IndexConfig`` is serialized into the index artifact's
+manifest so serve-time configuration can never drift from build-time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Build-time layout of the device index.
+
+    The rank structure is a fused-block layout: for each symbol ``c`` and each
+    block of ``block_size`` BWT positions, one aligned row of ``row_words``
+    uint32 words holds ``[occ_checkpoint, bitplane words..., padding]``. One
+    gather therefore fetches both the checkpoint and the in-block bits —
+    the TPU-native replacement for SGA's LargeMark/SmallMark two-level
+    sampling (SURVEY.md §2.1 "Occ/rank structure").
+    """
+
+    block_size: int = 256          # BWT symbols per rank block (power of 2)
+    row_words: int = 16            # uint32 words per block row (64B aligned)
+    max_query_len: int = 32        # max k-mer length served per batch
+    max_read_len: int = 256        # bound on LF-walk depth at resolve time
+    format_version: int = 1
+
+    def __post_init__(self) -> None:
+        if self.block_size & (self.block_size - 1):
+            raise ValueError("block_size must be a power of 2")
+        words = self.block_size // 32
+        if self.block_size % 32:
+            raise ValueError("block_size must be a multiple of 32")
+        if self.row_words < words + 1:
+            raise ValueError(
+                f"row_words={self.row_words} too small for "
+                f"{words} plane words + 1 checkpoint word"
+            )
+
+    @property
+    def words_per_block(self) -> int:
+        return self.block_size // 32
+
+    @property
+    def log2_block(self) -> int:
+        return self.block_size.bit_length() - 1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexConfig":
+        return cls(**json.loads(s))
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Serve-time knobs for the dispatcher (SURVEY.md §7.7)."""
+
+    batch_size: int = 4096         # device batch width (queries)
+    max_hits: int = 64             # rows resolved per query interval
+    batch_deadline_ms: float = 2.0 # max wait to fill a batch
+    host: str = "127.0.0.1"
+    port: int = 8080
+    num_shards: int = 1            # BWT-interval shards (mesh 'shard' axis)
+    data_parallel: int = 1         # query data-parallel width (mesh 'dp' axis)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ServeConfig":
+        return cls(**json.loads(s))

@@ -1,0 +1,77 @@
+"""FASTA/FASTQ ingest + read normalization (reference L0 analog).
+
+The reference's Perl preprocessing extracts reads, quality-trims, and
+drops/splits on ``N`` (SURVEY.md §2.1 "Read preprocessing"). The normalizer
+here implements the same contract: emit only ACGT segments, splitting reads
+at ambiguous bases and dropping segments shorter than ``min_len``.
+"""
+
+from __future__ import annotations
+
+import gzip
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from readserver_tpu import alphabet
+
+
+def _open(path: str | Path):
+    path = Path(path)
+    if path.suffix == ".gz":
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def read_fasta(path: str | Path) -> Iterator[tuple[str, str]]:
+    """Yield ``(name, sequence)`` records."""
+    name, chunks = None, []
+    with _open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name, chunks = line[1:].split()[0], []
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield name, "".join(chunks)
+
+
+def read_fastq(path: str | Path) -> Iterator[tuple[str, str]]:
+    """Yield ``(name, sequence)`` records (qualities discarded)."""
+    with _open(path) as fh:
+        while True:
+            header = fh.readline()
+            if not header:
+                return
+            seq = fh.readline().strip()
+            fh.readline()  # '+'
+            fh.readline()  # quals
+            yield header.strip()[1:].split()[0], seq
+
+
+def write_fasta(path: str | Path, records: Iterable[tuple[str, str]]) -> None:
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n{seq}\n")
+
+
+def normalize_read(seq: str, min_len: int = 20) -> list[np.ndarray]:
+    """Split a raw read at non-ACGT bases; return code arrays ≥ ``min_len``."""
+    out: list[np.ndarray] = []
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    codes = alphabet._ENCODE_LUT[raw]
+    if codes.size == 0:
+        return out
+    boundaries = np.flatnonzero(codes == 0)
+    segments = np.split(codes, boundaries)
+    for seg in segments:
+        seg = seg[seg != 0]
+        if len(seg) >= min_len:
+            out.append(np.ascontiguousarray(seg))
+    return out

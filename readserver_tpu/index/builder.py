@@ -1,0 +1,175 @@
+"""Host index builder: reads → suffix array → BWT → packed device arrays.
+
+This is the TPU-native replacement for the reference's build pipeline
+(``ropebwt2`` per-sample BWT + ``bwt-merge`` + RocksDB metadata load,
+SURVEY.md §3.4): a single pass that produces a bit-packed, rank-indexed
+artifact plus dense payload arrays (the RocksDB tier becomes
+``dollar_map`` / ``read_to_sample`` / read-offset arrays — keys are dense
+integers, so no KV store is needed; SURVEY.md §2.2 item 4).
+
+Suffix sorting uses the native C++ SAIS (``csrc/sais.cpp``) when available,
+falling back to the NumPy doubling sorter for small corpora.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from readserver_tpu import alphabet
+from readserver_tpu.config import IndexConfig
+from readserver_tpu.index import packing
+
+
+@dataclass
+class PackedIndex:
+    """Everything the device engine / artifact needs, as NumPy arrays."""
+
+    config: IndexConfig
+    n: int                      # BWT length = total bases + num_reads
+    num_reads: int
+    num_samples: int
+    C: np.ndarray               # int64 [6]
+    symbol_counts: np.ndarray   # int64 [5]
+    rank_blocks: np.ndarray     # uint32 [5, NB+1, row_words]
+    sym4: np.ndarray            # uint32 [ceil(n/8)]
+    dollar_map: np.ndarray      # uint32 [num_reads]: $-rank → read id
+    read_to_sample: np.ndarray  # int32 [num_reads]
+    read_lengths: np.ndarray    # int32 [num_reads]
+    # host-side cold store: 2-bit packed concatenated read bases + offsets
+    corpus_packed: np.ndarray   # uint8
+    read_offsets: np.ndarray    # int64 [num_reads+1] (base offsets)
+    sample_names: list[str] = field(default_factory=list)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.rank_blocks.shape[1] - 1
+
+    def extract_read(self, read_id: int) -> np.ndarray:
+        """Read text by id from the cold store (replaces RocksDB ``Get``)."""
+        s = int(self.read_offsets[read_id])
+        e = int(self.read_offsets[read_id + 1])
+        allb = alphabet.unpack_2bit(self.corpus_packed, int(self.read_offsets[-1]))
+        return allb[s:e]
+
+    def memory_bytes(self) -> dict[str, int]:
+        return {
+            "rank_blocks": self.rank_blocks.nbytes,
+            "sym4": self.sym4.nbytes,
+            "dollar_map": self.dollar_map.nbytes,
+            "read_to_sample": self.read_to_sample.nbytes,
+            "corpus_packed": self.corpus_packed.nbytes,
+        }
+
+
+def concat_with_sentinels(
+    reads: Sequence[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reads → int32 concat text with distinct increasing sentinels.
+
+    Sentinel of read ``i`` gets value ``i``; base code ``b`` becomes
+    ``m - 1 + b``.  The plain suffix array of this text induces the
+    generalized (per-read, distinct-``$``) suffix order — see
+    ``oracle/fm.py`` for the argument.  Returns (text, read_starts, lengths).
+    """
+    m = len(reads)
+    if m == 0:
+        raise ValueError("no reads")
+    lengths = np.fromiter((len(r) for r in reads), dtype=np.int64, count=m)
+    if lengths.min() < 1:
+        raise ValueError("empty read")
+    n = int(lengths.sum()) + m
+    if n >= (1 << 31) - 1:
+        raise ValueError(
+            f"corpus of {n} symbols exceeds int32 build range; "
+            "build per-shard indexes instead (parallel/sharded.py)"
+        )
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(lengths[:-1] + 1, out=starts[1:])
+    sentinel_pos = starts + lengths
+    text = np.empty(n, dtype=np.int32)
+    mask = np.ones(n, dtype=bool)
+    mask[sentinel_pos] = False
+    text[~mask] = np.arange(m, dtype=np.int32)
+    text[mask] = np.concatenate(reads).astype(np.int32) + (m - 1)
+    return text, starts, lengths
+
+
+def suffix_array(text: np.ndarray, alphabet_size: int) -> np.ndarray:
+    """Int text → suffix array. Native SAIS if built, else NumPy doubling."""
+    try:
+        from readserver_tpu.native import sais_int32
+
+        return sais_int32(np.asarray(text, dtype=np.int32), alphabet_size)
+    except Exception:
+        from readserver_tpu.oracle.fm import suffix_array_ints
+
+        return suffix_array_ints(text).astype(np.int32)
+
+
+def build_index(
+    reads: Sequence[np.ndarray | str | bytes],
+    sample_ids: np.ndarray | Sequence[int] | None = None,
+    config: IndexConfig | None = None,
+    sample_names: Sequence[str] | None = None,
+) -> PackedIndex:
+    config = config or IndexConfig()
+    codes = [
+        r if isinstance(r, np.ndarray) else alphabet.encode(r) for r in reads
+    ]
+    m = len(codes)
+    text, starts, lengths = concat_with_sentinels(codes)
+    n = len(text)
+    sa = suffix_array(text, alphabet_size=m + 4)
+
+    # BWT with collapsed sentinels (wraps at position 0; the wrap char is the
+    # final sentinel, which also collapses to $ — generalized-BWT-exact).
+    prev = np.where(sa > 0, sa - 1, n - 1)
+    bwt_raw = text[prev]
+    bwt = np.where(bwt_raw < m, 0, bwt_raw - (m - 1)).astype(np.uint8)
+    del bwt_raw, prev
+
+    # dollar_map: j-th $ in BWT order → the read whose position-0 suffix
+    # sits at that row (SURVEY.md §3.3 "$-rank = lexicographic read index").
+    dollar_rows = np.flatnonzero(bwt == alphabet.SENTINEL)
+    starts_of_rows = sa[dollar_rows].astype(np.int64)
+    dollar_map = np.searchsorted(starts, starts_of_rows).astype(np.uint32)
+    if not np.array_equal(starts[dollar_map], starts_of_rows):
+        raise AssertionError("BWT $-rows must align with read starts")
+    del dollar_rows, starts_of_rows, sa, text
+
+    rank_blocks, C, counts = packing.pack_rank_blocks(bwt, config)
+    sym4 = packing.pack_sym4(bwt)
+
+    if sample_ids is None:
+        sample_ids_arr = np.zeros(m, dtype=np.int32)
+    else:
+        sample_ids_arr = np.asarray(sample_ids, dtype=np.int32)
+        if sample_ids_arr.shape != (m,):
+            raise ValueError("sample_ids must have one entry per read")
+    num_samples = int(sample_ids_arr.max()) + 1 if m else 0
+
+    all_bases = np.concatenate(codes)
+    read_offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(lengths, out=read_offsets[1:])
+
+    return PackedIndex(
+        config=config,
+        n=n,
+        num_reads=m,
+        num_samples=num_samples,
+        C=C,
+        symbol_counts=counts,
+        rank_blocks=rank_blocks,
+        sym4=sym4,
+        dollar_map=dollar_map,
+        read_to_sample=sample_ids_arr,
+        read_lengths=lengths.astype(np.int32),
+        corpus_packed=alphabet.pack_2bit(all_bases),
+        read_offsets=read_offsets,
+        sample_names=list(sample_names)
+        if sample_names is not None
+        else [f"sample_{i}" for i in range(num_samples)],
+    )

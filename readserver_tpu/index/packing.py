@@ -1,0 +1,105 @@
+"""Bit-packing the BWT into the fused rank-block layout (NumPy, build time).
+
+Replaces SGA's RLE-BWT + LargeMark/SmallMark checkpoint scheme
+(SURVEY.md §2.1 "RLE-BWT storage format" / "Occ/rank structure") with a
+gather-friendly HBM layout:
+
+    rank_blocks[c, b, :] = [occ_ckpt(c, b*S), w0..w{W-1}, 0-padding]
+
+one aligned uint32 row per (symbol, block).  ``occ(c, i)`` = one row gather
++ masked popcount of the in-block bitplane words — a single 64B HBM
+transaction per rank instead of the reference's pointer-chasing run scan.
+An extra final block row carries the total counts so ``i == n`` needs no
+special case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from readserver_tpu import alphabet
+from readserver_tpu.config import IndexConfig
+
+
+def pack_rank_blocks(
+    bwt: np.ndarray, config: IndexConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BWT codes uint8[n] → ``(rank_blocks, C, symbol_counts)``.
+
+    rank_blocks: uint32 [NUM_SYMBOLS, NB+1, row_words]
+    C:           int64  [NUM_SYMBOLS+1]  (C[c] = # symbols with code < c)
+    counts:      int64  [NUM_SYMBOLS]
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    n = len(bwt)
+    S, W, R = config.block_size, config.words_per_block, config.row_words
+    nb = max(1, -(-n // S))  # ceil, ≥1 so empty inputs still have a row
+    padded = np.zeros(nb * S, dtype=np.uint8)
+    padded[:n] = bwt
+    pad_mask = np.zeros(nb * S, dtype=bool)
+    pad_mask[:n] = True
+
+    rank_blocks = np.zeros((alphabet.NUM_SYMBOLS, nb + 1, R), dtype=np.uint32)
+    counts = np.zeros(alphabet.NUM_SYMBOLS, dtype=np.int64)
+    for c in range(alphabet.NUM_SYMBOLS):
+        bits = (padded == c) & pad_mask
+        words = np.packbits(bits, bitorder="little")
+        words = words.view("<u4").reshape(nb, W)
+        rank_blocks[c, :nb, 1 : 1 + W] = words
+        per_block = bits.reshape(nb, S).sum(axis=1, dtype=np.int64)
+        total = int(per_block.sum())
+        counts[c] = total
+        ckpt = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(per_block, out=ckpt[1:])
+        if ckpt[-1] >= 1 << 32:
+            raise ValueError(
+                "per-shard occ checkpoint exceeds uint32; shard the index"
+            )
+        rank_blocks[c, :, 0] = ckpt.astype(np.uint32)
+
+    C = np.zeros(alphabet.NUM_SYMBOLS + 1, dtype=np.int64)
+    np.cumsum(counts, out=C[1:])
+    return rank_blocks, C, counts
+
+
+def pack_sym4(bwt: np.ndarray) -> np.ndarray:
+    """BWT codes → 4-bit packed uint32 words (8 symbols/word, LSB first).
+
+    The resolve path's symbol readout (``BWT[i]`` inside the LF-walk,
+    SURVEY.md §3.3) is one word gather + shift/mask.
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    n = len(bwt)
+    pad = (-n) % 8
+    if pad:
+        bwt = np.concatenate([bwt, np.zeros(pad, dtype=np.uint8)])
+    g = bwt.reshape(-1, 8).astype(np.uint32)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    return np.bitwise_or.reduce(g << shifts, axis=1).astype(np.uint32)
+
+
+def unpack_sym4(sym4: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_sym4` (testing/debug)."""
+    w = np.asarray(sym4, dtype=np.uint32)[:, None]
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    return ((w >> shifts) & 0xF).astype(np.uint8).reshape(-1)[:n]
+
+
+def occ_scalar(
+    rank_blocks: np.ndarray, config: IndexConfig, c: int, i: int
+) -> int:
+    """NumPy scalar rank on the packed layout (kernel unit-test reference,
+    SURVEY.md §4.3)."""
+    S, W = config.block_size, config.words_per_block
+    b, within = divmod(i, S)
+    row = rank_blocks[c, b]
+    total = int(row[0])
+    for j in range(W):
+        covered = min(max(within - 32 * j, 0), 32)
+        if covered == 0:
+            break
+        word = int(row[1 + j])
+        if covered < 32:
+            word &= (1 << covered) - 1
+        total += bin(word).count("1")
+    return total

@@ -1,0 +1,109 @@
+"""DeviceIndex: the on-device (HBM) form of a packed index, as a pytree."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from readserver_tpu.config import IndexConfig
+from readserver_tpu.index.builder import PackedIndex
+
+
+@dataclass(frozen=True)
+class DeviceIndex:
+    """HBM-resident index arrays + static layout metadata.
+
+    ``rank_rows`` is the fused rank-block table flattened to
+    ``[NUM_SYMBOLS * (NB+1), row_words]`` so that a single row gather with
+    flat index ``c * (NB+1) + block`` fetches checkpoint + bitplane words.
+    Registered as a jax dataclass-pytree: array fields are leaves, layout
+    ints are static metadata (they parameterize trace-time shifts/masks).
+    """
+
+    # array leaves
+    rank_rows: jax.Array      # uint32 [5*(NB+1), row_words]
+    sym4: jax.Array           # uint32 [ceil(n/8)]
+    C: jax.Array              # int32  [6]
+    dollar_map: jax.Array     # int32  [num_reads]
+    read_to_sample: jax.Array # int32  [num_reads]
+    read_lengths: jax.Array   # int32  [num_reads]
+    # static metadata
+    n: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_reads: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_samples: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    block_size: int = dataclasses.field(metadata=dict(static=True), default=256)
+    words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
+    max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
+
+    @property
+    def log2_block(self) -> int:
+        return self.block_size.bit_length() - 1
+
+    @property
+    def rows_per_symbol(self) -> int:
+        return self.num_blocks + 1
+
+    @classmethod
+    def from_packed(
+        cls, packed: PackedIndex, device: jax.Device | None = None
+    ) -> "DeviceIndex":
+        cfg: IndexConfig = packed.config
+        nb1 = packed.rank_blocks.shape[1]
+        rank_rows = np.ascontiguousarray(
+            packed.rank_blocks.reshape(-1, cfg.row_words)
+        )
+        if packed.n >= (1 << 31):
+            raise ValueError("single-device index must fit int32 positions")
+        put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        return cls(
+            rank_rows=put(rank_rows),
+            sym4=put(np.asarray(packed.sym4, dtype=np.uint32)),
+            C=put(np.asarray(packed.C, dtype=np.int32)),
+            dollar_map=put(np.asarray(packed.dollar_map, dtype=np.int32)),
+            read_to_sample=put(np.asarray(packed.read_to_sample, dtype=np.int32)),
+            read_lengths=put(np.asarray(packed.read_lengths, dtype=np.int32)),
+            n=int(packed.n),
+            num_reads=int(packed.num_reads),
+            num_samples=int(packed.num_samples),
+            num_blocks=int(nb1 - 1),
+            block_size=cfg.block_size,
+            words_per_block=cfg.words_per_block,
+            max_read_len=int(packed.read_lengths.max()) if packed.num_reads else 1,
+        )
+
+    def device_bytes(self) -> int:
+        return sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(self)
+            if hasattr(leaf, "nbytes")
+        )
+
+
+jax.tree_util.register_dataclass(
+    DeviceIndex,
+    data_fields=[
+        "rank_rows",
+        "sym4",
+        "C",
+        "dollar_map",
+        "read_to_sample",
+        "read_lengths",
+    ],
+    meta_fields=[
+        "n",
+        "num_reads",
+        "num_samples",
+        "num_blocks",
+        "block_size",
+        "words_per_block",
+        "max_read_len",
+    ],
+)
+
+
+def _as_i32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.int32)
