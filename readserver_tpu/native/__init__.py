@@ -1,0 +1,15 @@
+"""Native (C++) build components, bound via ctypes.
+
+Per the task's native-component checklist (SURVEY.md §2.2): the reference's
+C/C++ build stack (ropebwt2 suffix sorting, SGA index construction) maps to
+``csrc/sais.cpp`` here; the serve-time hot path needs no host native code
+because it runs on-chip (XLA/Pallas).
+"""
+
+from readserver_tpu.native.build import (
+    bwt_from_sa,
+    native_available,
+    sais_int32,
+)
+
+__all__ = ["sais_int32", "bwt_from_sa", "native_available"]

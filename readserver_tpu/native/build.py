@@ -1,0 +1,120 @@
+"""Compile-on-demand ctypes bindings for csrc/ (no pybind11 in this env).
+
+The shared library is rebuilt only when the source hash changes; the build
+is a single g++ -O3 invocation cached under ``build/``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parents[2]
+_CSRC = _REPO / "csrc"
+_BUILD = _REPO / "build"
+_SOURCES = ["sais.cpp"]
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_error: Exception | None = None
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        h.update((_CSRC / src).read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _compile() -> Path:
+    _BUILD.mkdir(exist_ok=True)
+    so = _BUILD / f"libreadserver_native_{_source_hash()}.so"
+    if so.exists():
+        return so
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-fPIC",
+        "-shared",
+        "-std=c++17",
+        *[str(_CSRC / s) for s in _SOURCES],
+        "-o",
+        str(so),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return so
+
+
+def _get_lib() -> ctypes.CDLL:
+    global _lib, _load_error
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _load_error is not None:
+            raise _load_error
+        try:
+            lib = ctypes.CDLL(str(_compile()))
+            lib.sais_int32.restype = ctypes.c_int
+            lib.sais_int32.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            lib.bwt_from_sa.restype = ctypes.c_int
+            lib.bwt_from_sa.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            _lib = lib
+            return lib
+        except Exception as e:  # missing toolchain etc. — NumPy fallback
+            _load_error = e
+            raise
+
+
+def native_available() -> bool:
+    try:
+        _get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def sais_int32(text: np.ndarray, alphabet_size: int) -> np.ndarray:
+    """Suffix array of an int32 text over alphabet [0, alphabet_size)."""
+    lib = _get_lib()
+    text = np.ascontiguousarray(text, dtype=np.int32)
+    n = len(text)
+    sa = np.empty(n, dtype=np.int32)
+    rc = lib.sais_int32(
+        text.ctypes.data, sa.ctypes.data, n, int(alphabet_size)
+    )
+    if rc != 0:
+        raise RuntimeError(f"sais_int32 failed with code {rc}")
+    return sa
+
+
+def bwt_from_sa(
+    text: np.ndarray, sa: np.ndarray, num_reads: int
+) -> np.ndarray:
+    """Collapsed multi-string BWT from (text, suffix array)."""
+    lib = _get_lib()
+    text = np.ascontiguousarray(text, dtype=np.int32)
+    sa = np.ascontiguousarray(sa, dtype=np.int32)
+    bwt = np.empty(len(text), dtype=np.uint8)
+    rc = lib.bwt_from_sa(
+        text.ctypes.data, sa.ctypes.data, bwt.ctypes.data, len(text), num_reads
+    )
+    if rc != 0:
+        raise RuntimeError(f"bwt_from_sa failed with code {rc}")
+    return bwt
