@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: k-mer backward-searches/s per chip + p50 batch latency.
+
+The headline metric of BASELINE.json ("≥1M k-mer backward-searches/s per
+v5e chip").  Builds (once, cached under data/) the named config's index,
+loads it into HBM, and times the jitted lockstep search over pre-staged
+device batches.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline is value / 1e6 (the reference target; no published reference
+numbers are recoverable — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+TARGET_PER_CHIP = 1_000_000.0
+
+
+def get_packed(config_name: str, scale: float):
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.index import artifact, build_index
+
+    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}"
+    if artifact.artifact_exists(cache):
+        return artifact.load_artifact(cache, mmap=False), simulate.CONFIGS[config_name]
+    t0 = time.time()
+    corpus = simulate.simulate_config(config_name, scale=scale)
+    print(
+        f"# simulated {len(corpus.reads)} reads in {time.time()-t0:.0f}s",
+        file=sys.stderr,
+    )
+    t0 = time.time()
+    packed = build_index(corpus.reads, sample_ids=corpus.sample_ids)
+    print(
+        f"# built index n={packed.n} in {time.time()-t0:.0f}s", file=sys.stderr
+    )
+    artifact.save_artifact(packed, cache)
+    return packed, corpus.spec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ecoli")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=4)
+    ap.add_argument("--resolve", action="store_true",
+                    help="also time the search+resolve+attribution step")
+    args = ap.parse_args()
+
+    import jax
+
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.index.builder import PackedIndex  # noqa: F401
+    from readserver_tpu.ops import DeviceIndex, backward_search, resolve_intervals
+
+    dev_kind = jax.devices()[0].device_kind
+    packed, spec = get_packed(args.config, args.scale)
+    # rebuild corpus cheaply for query sampling (reads derive from the seed)
+    corpus = simulate.simulate_config(args.config, scale=args.scale)
+    k = spec.kmer_len
+
+    index = DeviceIndex.from_packed(packed)
+    B, R = args.batch, args.iters
+    kmers = simulate.sample_query_kmers_fast(
+        corpus, B * (R + args.warmup), k, seed=1, miss_frac=0.1
+    ).astype(np.int32)
+    lengths = np.full(B, k, dtype=np.int32)
+    batches = [
+        jax.device_put(kmers[i * B : (i + 1) * B])
+        for i in range(R + args.warmup)
+    ]
+    lengths_d = jax.device_put(lengths)
+
+    count_fn = jax.jit(lambda idx, km, ln: backward_search(idx, km, ln))
+
+    # warmup: compile + axon first-transfer handshake
+    out = count_fn(index, batches[0], lengths_d)
+    np.asarray(out[0])
+    for i in range(args.warmup):
+        jax.block_until_ready(count_fn(index, batches[i], lengths_d))
+
+    # throughput: dispatch all, block once
+    t0 = time.perf_counter()
+    outs = [
+        count_fn(index, batches[args.warmup + i], lengths_d) for i in range(R)
+    ]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    searches_per_s = B * R / dt
+
+    # p50 latency: per-batch blocking
+    lat = []
+    for i in range(min(R, 16)):
+        t1 = time.perf_counter()
+        jax.block_until_ready(count_fn(index, batches[args.warmup + i], lengths_d))
+        lat.append(time.perf_counter() - t1)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    extras = {}
+    if args.resolve:
+        res_fn = jax.jit(
+            lambda idx, km, ln: resolve_intervals(
+                idx, *backward_search(idx, km, ln), max_hits=32
+            )
+        )
+        jax.block_until_ready(res_fn(index, batches[0], lengths_d))
+        t2 = time.perf_counter()
+        for i in range(8):
+            jax.block_until_ready(res_fn(index, batches[i], lengths_d))
+        extras["resolve_searches_per_s"] = round(B * 8 / (time.perf_counter() - t2))
+
+    result = {
+        "metric": "kmer_backward_searches_per_s_per_chip",
+        "value": round(searches_per_s),
+        "unit": "searches/s",
+        "vs_baseline": round(searches_per_s / TARGET_PER_CHIP, 3),
+        "p50_batch_latency_ms": round(p50_ms, 3),
+        "config": args.config,
+        "scale": args.scale,
+        "batch": B,
+        "kmer_len": k,
+        "n_symbols": packed.n,
+        "device": dev_kind,
+        **extras,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

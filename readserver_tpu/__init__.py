@@ -22,9 +22,22 @@ hot-path array is explicitly typed int32/uint32 so this costs nothing on the
 performance path.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# In this environment a sitecustomize hook imports jax at interpreter start
+# and pins the platform before user code runs; re-assert the JAX_PLATFORMS
+# env var so `JAX_PLATFORMS=cpu python -m readserver_tpu.cli ...` behaves as
+# documented.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 from readserver_tpu.config import IndexConfig, ServeConfig  # noqa: E402
 from readserver_tpu import alphabet  # noqa: E402

@@ -1,0 +1,158 @@
+"""CLI: build / query / serve / simulate — the reference's scripts+demo
+surface (SURVEY.md §3.4-§3.5) as one entry point.
+
+    python -m readserver_tpu.cli build --config ecoli --out data/idx
+    python -m readserver_tpu.cli build --fastq reads.fq --out data/idx
+    python -m readserver_tpu.cli query --index data/idx --kmer ACGTT --hits
+    python -m readserver_tpu.cli serve --index data/idx --port 8080
+    python -m readserver_tpu.cli simulate --config lambda --out reads.fasta
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_build(args) -> int:
+    import numpy as np
+
+    from readserver_tpu.index import artifact, build_index
+
+    t0 = time.time()
+    sample_ids = None
+    sample_names = None
+    if args.fastq or args.fasta:
+        from readserver_tpu.corpus import io as cio
+
+        reads = []
+        records = (
+            cio.read_fastq(args.fastq) if args.fastq else cio.read_fasta(args.fasta)
+        )
+        for _, seq in records:
+            reads.extend(cio.normalize_read(seq, min_len=args.min_len))
+    else:
+        from readserver_tpu.corpus import simulate
+
+        corpus = simulate.simulate_config(args.config, scale=args.scale)
+        reads = corpus.reads
+        sample_ids = corpus.sample_ids
+        sample_names = [
+            f"sample_{i:03d}" for i in range(int(np.max(sample_ids)) + 1)
+        ]
+    print(f"# {len(reads)} reads", file=sys.stderr)
+    packed = build_index(reads, sample_ids=sample_ids, sample_names=sample_names)
+    artifact.save_artifact(packed, args.out)
+    print(
+        f"# built n={packed.n} reads={packed.num_reads} "
+        f"in {time.time()-t0:.1f}s → {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _load_engine(index_path: str, batch_size: int, num_shards: int):
+    from readserver_tpu.config import ServeConfig
+    from readserver_tpu.index import artifact
+    from readserver_tpu.serve import QueryEngine
+
+    packed = artifact.load_artifact(index_path, mmap=False)
+    cfg = ServeConfig(batch_size=batch_size, num_shards=num_shards)
+    mesh = None
+    if num_shards > 1:
+        from readserver_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data_parallel=1, num_shards=num_shards)
+    return QueryEngine(packed, cfg, mesh=mesh)
+
+
+def cmd_query(args) -> int:
+    engine = _load_engine(args.index, max(len(args.kmer), 16), args.shards)
+    if args.hits or args.samples:
+        results = engine.query_batch(args.kmer)
+    else:
+        results = engine.count_batch(args.kmer)
+    for r in results:
+        out = {"kmer": r.kmer, "count": r.count}
+        if args.hits:
+            out["hits"] = r.hits
+            out["hits_truncated"] = r.hits_truncated
+        if args.samples:
+            out["samples"] = r.sample_hist
+        print(json.dumps(out))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    import asyncio
+
+    from readserver_tpu.serve.http import serve_forever
+
+    engine = _load_engine(args.index, args.batch, args.shards)
+    engine.warmup()
+    try:
+        asyncio.run(serve_forever(engine, args.host, args.port))
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from readserver_tpu import alphabet
+    from readserver_tpu.corpus import io as cio, simulate
+
+    corpus = simulate.simulate_config(args.config, scale=args.scale)
+    cio.write_fasta(
+        args.out,
+        (
+            (f"read_{i}_s{corpus.sample_ids[i]}", alphabet.decode(r))
+            for i, r in enumerate(corpus.reads)
+        ),
+    )
+    print(f"# wrote {len(corpus.reads)} reads → {args.out}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="readserver_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index artifact")
+    b.add_argument("--config", default="tiny", help="simulated config name")
+    b.add_argument("--scale", type=float, default=1.0)
+    b.add_argument("--fastq", help="build from a FASTQ file instead")
+    b.add_argument("--fasta", help="build from a FASTA file instead")
+    b.add_argument("--min-len", type=int, default=20)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="query an index artifact")
+    q.add_argument("--index", required=True)
+    q.add_argument("--kmer", nargs="+", required=True)
+    q.add_argument("--hits", action="store_true")
+    q.add_argument("--samples", action="store_true")
+    q.add_argument("--shards", type=int, default=1)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("serve", help="REST server over an index artifact")
+    s.add_argument("--index", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--batch", type=int, default=256)
+    s.add_argument("--shards", type=int, default=1)
+    s.set_defaults(fn=cmd_serve)
+
+    m = sub.add_parser("simulate", help="write a simulated corpus as FASTA")
+    m.add_argument("--config", default="tiny")
+    m.add_argument("--scale", type=float, default=1.0)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_simulate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

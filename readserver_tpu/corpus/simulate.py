@@ -69,30 +69,25 @@ def simulate_reads(
     seed: int,
     error_rate: float = 0.0,
 ) -> list[np.ndarray]:
-    """Uniform shotgun reads off both strands, optional substitution errors."""
+    """Uniform shotgun reads off both strands, optional substitution errors.
+
+    Fully vectorized (population-scale corpora are millions of reads)."""
     from readserver_tpu import alphabet
 
     g = len(genome)
     num = max(1, int(round(coverage * g / read_len)))
+    if g < read_len:
+        raise ValueError("genome shorter than read length")
     rng = np.random.default_rng(seed)
-    starts = rng.integers(0, max(1, g - read_len + 1), size=num)
-    strands = rng.integers(0, 2, size=num)
-    reads: list[np.ndarray] = []
-    for s, rev in zip(starts, strands):
-        r = genome[s : s + read_len]
-        if len(r) < read_len:
-            continue
-        if rev:
-            r = alphabet.revcomp(r)
-        if error_rate > 0.0:
-            r = r.copy()
-            errs = np.flatnonzero(rng.random(read_len) < error_rate)
-            if errs.size:
-                # substitute with a different base: rotate 1..4 by 1..3
-                shift = rng.integers(1, 4, size=errs.size).astype(np.uint8)
-                r[errs] = ((r[errs] - 1 + shift) % 4 + 1).astype(np.uint8)
-        reads.append(np.ascontiguousarray(r))
-    return reads
+    starts = rng.integers(0, g - read_len + 1, size=num)
+    mat = genome[starts[:, None] + np.arange(read_len)[None, :]]
+    rev = rng.integers(0, 2, size=num).astype(bool)
+    mat[rev] = alphabet._COMPLEMENT[mat[rev]][:, ::-1]
+    if error_rate > 0.0:
+        errs = rng.random(mat.shape) < error_rate
+        shift = rng.integers(1, 4, size=int(errs.sum())).astype(np.uint8)
+        mat[errs] = ((mat[errs] - 1 + shift) % 4 + 1).astype(np.uint8)
+    return list(mat)
 
 
 def simulate_config(name: str, scale: float = 1.0) -> SimulatedCorpus:
@@ -119,6 +114,27 @@ def simulate_config(name: str, scale: float = 1.0) -> SimulatedCorpus:
         reads=reads,
         sample_ids=np.asarray(sample_ids, dtype=np.int32),
     )
+
+
+def sample_query_kmers_fast(
+    corpus: SimulatedCorpus, num: int, k: int, seed: int = 0, miss_frac: float = 0.1
+) -> np.ndarray:
+    """Vectorized query sampler → uint8 [num, k]; requires equal-length
+    reads (bench-scale workloads; the list-based sampler below is general).
+    """
+    rng = np.random.default_rng(seed)
+    reads = np.stack(corpus.reads)  # [m, L]
+    m, L = reads.shape
+    if k > L:
+        raise ValueError("k longer than read length")
+    ridx = rng.integers(0, m, size=num)
+    offs = rng.integers(0, L - k + 1, size=num)
+    out = reads[ridx[:, None], offs[:, None] + np.arange(k)[None, :]]
+    miss = rng.random(num) < miss_frac
+    nmiss = int(miss.sum())
+    if nmiss:
+        out[miss] = rng.integers(1, 5, size=(nmiss, k), dtype=np.uint8)
+    return out.astype(np.uint8)
 
 
 def sample_query_kmers(

@@ -1,0 +1,357 @@
+"""BWT-interval sharding: the sharded index + SPMD query program.
+
+Decomposition (SURVEY.md §2.3 "Shard/tensor parallel"): the global BWT is
+split into contiguous position ranges, one per device on the ``'shard'``
+mesh axis.  For any global position ``i``:
+
+    occ_global(c, i) = Σ_shards occ_local_s(c, clamp(i - start_s, 0, len_s))
+
+— every shard computes a clamped local rank (out-of-range shards hit their
+checkpoint fast path: clamp yields 0 or the shard total) and one ``psum``
+over ICI yields the global value.  This is the "masked contribution" form
+(SURVEY.md §7.6): simplest SPMD, no owner routing, one collective per scan
+step.  Payload tables (dollar_map, read→sample) shard the same way over
+their own dense key ranges.
+
+Global interval arithmetic is int64 (whole-genome BWT lengths exceed
+2**32); all local ranks remain int32/uint32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from readserver_tpu import alphabet
+from readserver_tpu.index.builder import PackedIndex
+from readserver_tpu.index import packing
+from readserver_tpu.ops.rank import occ_rows
+
+_U32 = jnp.uint32
+
+
+@dataclass(frozen=True)
+class ShardedIndex:
+    """Per-shard arrays stacked on a leading 'shard' axis (size S)."""
+
+    rank_rows: jax.Array    # uint32 [S, 5*(nbl_max+1), row_words]
+    sym4: jax.Array         # uint32 [S, W4max]
+    dollar_chunk: jax.Array # int32  [S, DMAX] ($-rank range → read id)
+    sample_chunk: jax.Array # int32  [S, RMAX] (read-id range → sample id)
+    starts: jax.Array       # int64  [S] global BWT position of shard start
+    lens: jax.Array         # int64  [S]
+    dstarts: jax.Array      # int64  [S] global $-rank at shard start
+    dlens: jax.Array        # int64  [S]
+    rstarts: jax.Array      # int64  [S] read-id chunk start
+    rlens: jax.Array        # int64  [S]
+    C: jax.Array            # int64  [6] global, replicated
+    # static
+    num_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
+    n: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_reads: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_samples: int = dataclasses.field(metadata=dict(static=True), default=1)
+    rows_per_symbol: int = dataclasses.field(metadata=dict(static=True), default=1)
+    block_size: int = dataclasses.field(metadata=dict(static=True), default=256)
+    words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
+    max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
+
+    @property
+    def log2_block(self) -> int:
+        return self.block_size.bit_length() - 1
+
+
+_STACKED = [
+    "rank_rows", "sym4", "dollar_chunk", "sample_chunk",
+    "starts", "lens", "dstarts", "dlens", "rstarts", "rlens",
+]
+_META = [
+    "num_shards", "n", "num_reads", "num_samples", "rows_per_symbol",
+    "block_size", "words_per_block", "max_read_len",
+]
+
+jax.tree_util.register_dataclass(
+    ShardedIndex, data_fields=_STACKED + ["C"], meta_fields=_META
+)
+
+
+def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
+    """Host-side: slice the global BWT into S block-aligned ranges and
+    re-pack each range with shard-local checkpoints (NumPy arrays)."""
+    cfg = packed.config
+    S = num_shards
+    n, m = packed.n, packed.num_reads
+    bs = cfg.block_size
+    bwt = packing.unpack_sym4(np.asarray(packed.sym4), n)
+
+    # block-aligned contiguous ranges
+    target = -(-n // S)
+    target = -(-target // bs) * bs
+    starts = np.minimum(np.arange(S, dtype=np.int64) * target, n)
+    ends = np.minimum(starts + target, n)
+    lens = ends - starts
+
+    rank_stack, sym_stack, dlens = [], [], []
+    for s in range(S):
+        local = bwt[starts[s] : ends[s]]
+        rb, _, counts = packing.pack_rank_blocks(local, cfg)
+        rank_stack.append(rb)  # [5, nbl_s+1, R]
+        sym_stack.append(packing.pack_sym4(local))
+        dlens.append(int(counts[alphabet.SENTINEL]))
+    dlens = np.asarray(dlens, dtype=np.int64)
+    dstarts = np.zeros(S, dtype=np.int64)
+    np.cumsum(dlens[:-1], out=dstarts[1:])
+    assert dstarts[-1] + dlens[-1] == m
+
+    nbl_max = max(rb.shape[1] for rb in rank_stack)
+    R = cfg.row_words
+    rank_rows = np.zeros(
+        (S, alphabet.NUM_SYMBOLS * nbl_max, R), dtype=np.uint32
+    )
+    for s, rb in enumerate(rank_stack):
+        pad = np.zeros((alphabet.NUM_SYMBOLS, nbl_max, R), dtype=np.uint32)
+        pad[:, : rb.shape[1]] = rb
+        rank_rows[s] = pad.reshape(-1, R)
+
+    w4max = max(x.shape[0] for x in sym_stack)
+    sym4 = np.zeros((S, max(w4max, 1)), dtype=np.uint32)
+    for s, x in enumerate(sym_stack):
+        sym4[s, : x.shape[0]] = x
+
+    dmax = max(1, int(dlens.max()))
+    dollar_chunk = np.zeros((S, dmax), dtype=np.int32)
+    dm = np.asarray(packed.dollar_map, dtype=np.int32)
+    for s in range(S):
+        dollar_chunk[s, : dlens[s]] = dm[dstarts[s] : dstarts[s] + dlens[s]]
+
+    rchunk = -(-m // S)
+    rstarts = np.minimum(np.arange(S, dtype=np.int64) * rchunk, m)
+    rends = np.minimum(rstarts + rchunk, m)
+    rlens = rends - rstarts
+    sample_chunk = np.zeros((S, max(rchunk, 1)), dtype=np.int32)
+    rts = np.asarray(packed.read_to_sample, dtype=np.int32)
+    for s in range(S):
+        sample_chunk[s, : rlens[s]] = rts[rstarts[s] : rends[s]]
+
+    return ShardedIndex(
+        rank_rows=rank_rows,
+        sym4=sym4,
+        dollar_chunk=dollar_chunk,
+        sample_chunk=sample_chunk,
+        starts=starts,
+        lens=lens,
+        dstarts=dstarts,
+        dlens=dlens,
+        rstarts=rstarts,
+        rlens=rlens,
+        C=np.asarray(packed.C, dtype=np.int64),
+        num_shards=S,
+        n=n,
+        num_reads=m,
+        num_samples=max(packed.num_samples, 1),
+        rows_per_symbol=nbl_max,
+        block_size=cfg.block_size,
+        words_per_block=cfg.words_per_block,
+        max_read_len=int(packed.read_lengths.max()) if m else 1,
+    )
+
+
+def sharding_specs(sidx: ShardedIndex) -> ShardedIndex:
+    """Pytree of PartitionSpecs matching ShardedIndex (C replicated)."""
+    kw = {f: P("shard") for f in _STACKED}
+    kw["C"] = P()
+    for f in _META:
+        kw[f] = getattr(sidx, f)
+    # multi-dim stacked arrays: only the leading axis is sharded
+    for f in ["sym4", "dollar_chunk", "sample_chunk"]:
+        kw[f] = P("shard", None)
+    kw["rank_rows"] = P("shard", None, None)
+    return ShardedIndex(**kw)
+
+
+def place_sharded(sidx: ShardedIndex, mesh) -> ShardedIndex:
+    """device_put every field with its NamedSharding on the mesh."""
+    specs = sharding_specs(sidx)
+    placed = {}
+    for f in _STACKED + ["C"]:
+        spec = getattr(specs, f)
+        placed[f] = jax.device_put(
+            np.asarray(getattr(sidx, f)), NamedSharding(mesh, spec)
+        )
+    for f in _META:
+        placed[f] = getattr(sidx, f)
+    return ShardedIndex(**placed)
+
+
+# --------------------------------------------------------------- SPMD body
+
+
+class _ShardLocal:
+    """Per-device view inside shard_map (leading stacked dim squeezed)."""
+
+    def __init__(self, sidx: ShardedIndex):
+        self.rank_rows = sidx.rank_rows[0]
+        self.sym4 = sidx.sym4[0]
+        self.dollar_chunk = sidx.dollar_chunk[0]
+        self.sample_chunk = sidx.sample_chunk[0]
+        self.start = sidx.starts[0]
+        self.len = sidx.lens[0]
+        self.dstart = sidx.dstarts[0]
+        self.dlen = sidx.dlens[0]
+        self.rstart = sidx.rstarts[0]
+        self.rlen = sidx.rlens[0]
+        self.C = sidx.C
+        self.meta = sidx
+
+    def occ_global(self, c: jax.Array, i: jax.Array) -> jax.Array:
+        """c int32 [X], i int64 [X] → global occ int64 [X] (one psum)."""
+        loc = jnp.clip(i - self.start, 0, self.len).astype(jnp.int32)
+        r = occ_rows(
+            self.rank_rows,
+            c,
+            loc,
+            rows_per_symbol=self.meta.rows_per_symbol,
+            log2_block=self.meta.log2_block,
+            words_per_block=self.meta.words_per_block,
+        )
+        return jax.lax.psum(r.astype(jnp.int64), "shard")
+
+    def sym_global(self, i: jax.Array) -> jax.Array:
+        """BWT symbol at global positions i (int64 [X]) → int32 [X]."""
+        inr = (i >= self.start) & (i < self.start + self.len)
+        loc = jnp.clip(i - self.start, 0, jnp.maximum(self.len - 1, 0)).astype(
+            jnp.int32
+        )
+        word = jnp.take(self.sym4, loc >> 3, axis=0)
+        v = ((word >> ((loc & 7) << 2).astype(_U32)) & _U32(0xF)).astype(
+            jnp.int32
+        )
+        return jax.lax.psum(jnp.where(inr, v, 0), "shard")
+
+    def dollar_global(self, dr: jax.Array) -> jax.Array:
+        """Global $-rank (int64 [X]) → read id int32 [X]."""
+        inr = (dr >= self.dstart) & (dr < self.dstart + self.dlen)
+        loc = jnp.clip(dr - self.dstart, 0, jnp.maximum(self.dlen - 1, 0)).astype(
+            jnp.int32
+        )
+        v = jnp.take(self.dollar_chunk, loc, axis=0)
+        return jax.lax.psum(jnp.where(inr, v, 0), "shard")
+
+    def sample_global(self, rid: jax.Array) -> jax.Array:
+        """Read id (int32 [X]) → sample id int32 [X]."""
+        r64 = rid.astype(jnp.int64)
+        inr = (r64 >= self.rstart) & (r64 < self.rstart + self.rlen)
+        loc = jnp.clip(r64 - self.rstart, 0, jnp.maximum(self.rlen - 1, 0)).astype(
+            jnp.int32
+        )
+        v = jnp.take(self.sample_chunk, loc, axis=0)
+        return jax.lax.psum(jnp.where(inr, v, 0), "shard")
+
+
+def _query_body(sidx, kmers, lengths, *, max_hits: int):
+    """Full query step inside shard_map: search + resolve + attribution.
+
+    kmers int32 [Bloc, K]; all interval math int64; outputs replicated
+    across 'shard' (established by psum), sharded over 'dp'.
+    """
+    loc = _ShardLocal(sidx)
+    B, K = kmers.shape
+    n, m = sidx.n, sidx.num_reads
+
+    def vary(x):
+        # constant-initialized loop carries become 'dp'-varying inside the
+        # loops (they mix with the dp-sharded queries); mark them up front
+        # to satisfy shard_map's varying-manual-axes check
+        return jax.lax.pcast(x, ("dp",), to="varying")
+
+    l0 = vary(jnp.zeros(B, dtype=jnp.int64))
+    u0 = vary(jnp.full(B, n, dtype=jnp.int64))
+    cols = jnp.flip(kmers.T, axis=0)
+    js = jnp.arange(K - 1, -1, -1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        l, u = carry
+        c, j = xs
+        active = (j < lengths) & (l < u)
+        occ2 = loc.occ_global(jnp.concatenate([c, c]), jnp.concatenate([l, u]))
+        base = jnp.take(loc.C, c)
+        l = jnp.where(active, base + occ2[:B], l)
+        u = jnp.where(active, base + occ2[B:], u)
+        return (l, u), None
+
+    (l, u), _ = jax.lax.scan(step, (l0, u0), (cols, js))
+
+    # resolve: expand intervals, lockstep LF-walk with psum-merged ranks
+    H = max_hits
+    span = jnp.arange(H, dtype=jnp.int64)
+    rows = (l[:, None] + span[None, :]).reshape(-1)
+    valid = (span[None, :] < (u - l)[:, None]).reshape(-1)
+    rows = jnp.where(valid, rows, 0)
+
+    Rr = B * H
+    state = (
+        rows,
+        ~valid,
+        vary(jnp.full(Rr, -1, dtype=jnp.int32)),
+        vary(jnp.full(Rr, -1, dtype=jnp.int32)),
+    )
+
+    def walk(t, state):
+        cur, done, read_id, offset = state
+        c = loc.sym_global(cur)
+        o = loc.occ_global(c, cur)
+        hit = (c == 0) & ~done
+        rid = loc.dollar_global(o)
+        read_id = jnp.where(hit, rid, read_id)
+        offset = jnp.where(hit, t, offset)
+        done = done | (c == 0)
+        nxt = jnp.take(loc.C, c) + o
+        cur = jnp.where(done, cur, nxt)
+        return cur, done, read_id, offset
+
+    _, _, read_id, offset = jax.lax.fori_loop(
+        0, sidx.max_read_len, walk, state
+    )
+
+    sample = loc.sample_global(jnp.clip(read_id, 0, max(m - 1, 0)))
+    S = sidx.num_samples
+    seg = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H) * S + sample
+    hist = jax.ops.segment_sum(
+        valid.astype(jnp.int32), seg, num_segments=B * S
+    ).reshape(B, S)
+
+    return dict(
+        l=l,
+        u=u,
+        count=u - l,
+        read_id=read_id.reshape(B, H),
+        offset=offset.reshape(B, H),
+        valid=valid.reshape(B, H),
+        sample_hist=hist,
+    )
+
+
+def make_sharded_query_fn(sidx: ShardedIndex, mesh, max_hits: int = 64):
+    """jit'd SPMD query fn: ``(sidx, kmers [B,K] i32, lengths [B] i32) →
+    dict`` with B sharded over 'dp' and the index over 'shard'."""
+    idx_specs = sharding_specs(sidx)
+    fn = jax.shard_map(
+        partial(_query_body, max_hits=max_hits),
+        mesh=mesh,
+        in_specs=(idx_specs, P("dp", None), P("dp")),
+        out_specs=dict(
+            l=P("dp"),
+            u=P("dp"),
+            count=P("dp"),
+            read_id=P("dp", None),
+            offset=P("dp", None),
+            valid=P("dp", None),
+            sample_hist=P("dp", None),
+        ),
+    )
+    return jax.jit(fn)

@@ -1,0 +1,101 @@
+"""Async micro-batcher: single-flight device batches with a fill deadline.
+
+The reference handles each query on a thread from a pool (SURVEY.md §3.1);
+the TPU engine wants full batches instead, so queries queue briefly
+(≤ ``batch_deadline_ms``) and fly together.  One event loop, one in-flight
+device call (device execution happens in a worker thread so the loop stays
+responsive); no locks needed — the queue is only touched on the loop.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from readserver_tpu.serve.engine import QueryEngine, QueryResult
+from readserver_tpu.serve.metrics import Metrics
+
+
+class Dispatcher:
+    def __init__(self, engine: QueryEngine, metrics: Metrics | None = None):
+        self.engine = engine
+        self.metrics = metrics or Metrics()
+        self._queue: list[tuple[str, bool, asyncio.Future]] = []
+        self._wake: asyncio.Event = asyncio.Event()
+        self._task: asyncio.Task | None = None
+        self._closed = False
+        # dedicated single thread for device calls: one device, one batch in
+        # flight — and never starved by the shared default executor
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="device-batch"
+        )
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        self._closed = True
+        self._wake.set()
+        if self._task is not None:
+            await self._task
+            self._task = None
+        self._executor.shutdown(wait=False)
+
+    async def submit(self, kmer: str, counts_only: bool = False) -> QueryResult:
+        """Enqueue one query; resolves when its batch returns."""
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        self._queue.append((kmer, counts_only, fut))
+        self._wake.set()
+        return await fut
+
+    async def _run(self) -> None:
+        deadline_s = self.engine.cfg.batch_deadline_ms / 1e3
+        B = self.engine.B
+        while not self._closed:
+            await self._wake.wait()
+            self._wake.clear()
+            if self._closed:
+                break
+            if not self._queue:
+                continue
+            # fill window: wait up to the deadline for more arrivals
+            t_first = time.perf_counter()
+            while (
+                len(self._queue) < B
+                and time.perf_counter() - t_first < deadline_s
+            ):
+                await asyncio.sleep(deadline_s / 8)
+            batch, self._queue = self._queue[:B], self._queue[B:]
+            if self._queue:
+                self._wake.set()  # more waiting — go again immediately
+            await self._fly(batch)
+        # drain on close
+        for _, _, fut in self._queue:
+            if not fut.done():
+                fut.cancel()
+
+    async def _fly(self, batch) -> None:
+        kmers = [k for k, _, _ in batch]
+        counts_only = all(c for _, c, _ in batch)
+        t0 = time.perf_counter()
+        loop = asyncio.get_running_loop()
+        try:
+            fn = (
+                self.engine.count_batch
+                if counts_only
+                else self.engine.query_batch
+            )
+            results = await loop.run_in_executor(self._executor, fn, kmers)
+        except Exception as e:  # propagate to every waiter
+            self.metrics.record_error()
+            for _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        dt = time.perf_counter() - t0
+        self.metrics.record_batch(len(batch), dt)
+        for (_, _, fut), res in zip(batch, results):
+            if not fut.done():
+                fut.set_result(res)

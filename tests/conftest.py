@@ -6,12 +6,19 @@ pod (SURVEY.md §4.4); real-TPU runs are benchmark-only (bench.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the env's axon TPU default
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize imports jax at interpreter start, so jax.config has
+# already latched JAX_PLATFORMS=axon from the outer env; update it directly
+# (backends are not initialized until first use, so this is still in time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,108 @@
+"""Sharded-path parity on the CPU-simulated 8-device mesh (SURVEY.md §4.4):
+interval-sharded search + psum merge must equal the single-device engine and
+the oracle exactly, across mesh shapes (dp, shard)."""
+
+import jax
+import numpy as np
+import pytest
+
+from readserver_tpu.corpus.simulate import sample_query_kmers
+from readserver_tpu.index.builder import build_index
+from readserver_tpu.ops import DeviceIndex, backward_search, encode_query_batch
+from readserver_tpu.oracle import OracleFMIndex
+from readserver_tpu.parallel import (
+    build_sharded,
+    make_mesh,
+    make_sharded_query_fn,
+    place_sharded,
+)
+
+MAX_HITS = 32
+
+
+@pytest.fixture(scope="module")
+def packed(tiny_corpus):
+    return build_index(tiny_corpus.reads, sample_ids=tiny_corpus.sample_ids)
+
+
+@pytest.fixture(scope="module")
+def fm(tiny_corpus):
+    return OracleFMIndex(tiny_corpus.reads)
+
+
+def _run(packed, corpus, dp, shards, num_queries=32, seed=21):
+    mesh = make_mesh(data_parallel=dp, num_shards=shards)
+    sidx = place_sharded(build_sharded(packed, shards), mesh)
+    qfn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    k = corpus.spec.kmer_len
+    kmers = sample_query_kmers(corpus, num_queries, k, seed=seed, miss_frac=0.2)
+    codes, lengths = encode_query_batch(kmers, k)
+    out = qfn(sidx, codes, lengths)
+    return kmers, {k2: np.asarray(v) for k2, v in out.items()}
+
+
+@pytest.mark.parametrize("dp,shards", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_matches_oracle(packed, fm, tiny_corpus, dp, shards):
+    kmers, out = _run(packed, tiny_corpus, dp, shards)
+    for b, km in enumerate(kmers):
+        ol, ou = fm.backward_search(km)
+        assert (out["l"][b], out["u"][b]) == (ol, ou), f"query {b}"
+        want = sorted(fm.resolve_row(r) for r in range(ol, ou))
+        if len(want) > MAX_HITS:
+            continue
+        got = sorted(
+            (int(r), int(o))
+            for r, o, v in zip(out["read_id"][b], out["offset"][b], out["valid"][b])
+            if v
+        )
+        assert got == want, f"query {b}"
+
+
+def test_sharded_matches_single_device(packed, tiny_corpus):
+    corpus = tiny_corpus
+    dev = DeviceIndex.from_packed(packed)
+    k = corpus.spec.kmer_len
+    kmers = sample_query_kmers(corpus, 64, k, seed=22, miss_frac=0.25)
+    codes, lengths = encode_query_batch(kmers, k)
+    sl, su = jax.jit(backward_search)(dev, codes, lengths)
+
+    mesh = make_mesh(data_parallel=2, num_shards=4)
+    sidx = place_sharded(build_sharded(packed, 4), mesh)
+    qfn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    out = qfn(sidx, codes, lengths)
+    assert np.array_equal(np.asarray(out["l"]), np.asarray(sl))
+    assert np.array_equal(np.asarray(out["u"]), np.asarray(su))
+
+
+def test_sample_attribution_sharded(packed, fm, tiny_corpus):
+    kmers, out = _run(packed, tiny_corpus, 2, 4, num_queries=16, seed=23)
+    sample_of = tiny_corpus.sample_ids
+    for b, km in enumerate(kmers):
+        ol, ou = fm.backward_search(km)
+        if ou - ol > MAX_HITS:
+            continue
+        want = np.zeros(out["sample_hist"].shape[1], dtype=np.int64)
+        for r in range(ol, ou):
+            rid, _ = fm.resolve_row(r)
+            want[sample_of[rid]] += 1
+        assert np.array_equal(out["sample_hist"][b], want), f"query {b}"
+
+
+def test_shard_boundaries_block_aligned(packed):
+    sidx = build_sharded(packed, 8)
+    starts = np.asarray(sidx.starts)
+    assert np.all(starts % sidx.block_size == 0)
+    lens = np.asarray(sidx.lens)
+    assert lens.sum() == packed.n
+    assert np.all(lens >= 0)
+
+
+def test_dollar_chunks_cover_all_reads(packed):
+    sidx = build_sharded(packed, 8)
+    dlens = np.asarray(sidx.dlens)
+    assert dlens.sum() == packed.num_reads
+    # reassembled dollar map equals the global one
+    got = np.concatenate(
+        [np.asarray(sidx.dollar_chunk)[s, : dlens[s]] for s in range(8)]
+    )
+    assert np.array_equal(got, np.asarray(packed.dollar_map, dtype=np.int32))
