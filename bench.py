@@ -54,18 +54,28 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ecoli")
     ap.add_argument("--scale", type=float, default=1.0)
-    ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=262144)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--lut-order", type=int, default=-1,
+                    help="prefix LUT order; -1 = auto, 0 = disabled")
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--resolve", action="store_true",
                     help="also time the search+resolve+attribution step")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from readserver_tpu.corpus import simulate
     from readserver_tpu.index.builder import PackedIndex  # noqa: F401
-    from readserver_tpu.ops import DeviceIndex, backward_search, resolve_intervals
+    from readserver_tpu.ops import (
+        DeviceIndex,
+        backward_search,
+        backward_search_lut,
+        build_prefix_lut,
+        default_lut_order,
+        resolve_intervals,
+    )
 
     dev_kind = jax.devices()[0].device_kind
     packed, spec = get_packed(args.config, args.scale)
@@ -73,7 +83,21 @@ def main() -> int:
     corpus = simulate.simulate_config(args.config, scale=args.scale)
     k = spec.kmer_len
 
+    def mark(msg):
+        print(f"# [{time.time()-T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    T0 = time.time()
     index = DeviceIndex.from_packed(packed)
+    jax.block_until_ready(index.rank_rows)
+    mark("index on device")
+    p = default_lut_order(packed.n) if args.lut_order < 0 else args.lut_order
+    p = min(p, k)
+    t0 = time.time()
+    lut = build_prefix_lut(index, p) if p else None
+    if lut is not None:
+        jax.block_until_ready(lut)
+        print(f"# prefix LUT p={p} built in {time.time()-t0:.1f}s",
+              file=sys.stderr)
     B, R = args.batch, args.iters
     kmers = simulate.sample_query_kmers_fast(
         corpus, B * (R + args.warmup), k, seed=1, miss_frac=0.1
@@ -84,14 +108,28 @@ def main() -> int:
         for i in range(R + args.warmup)
     ]
     lengths_d = jax.device_put(lengths)
+    jax.block_until_ready(batches)
+    mark(f"{len(batches)} query batches staged")
 
-    count_fn = jax.jit(lambda idx, km, ln: backward_search(idx, km, ln))
+    # NB: pass the LUT as an argument — closing over it bakes a
+    # multi-MB constant into the executable and inflates compile time
+    if lut is not None:
+        _f = jax.jit(
+            lambda idx, lut_, km, ln: backward_search_lut(idx, lut_, p, km, ln)
+        )
+        count_fn = lambda idx, km, ln: _f(idx, lut, km, ln)
+    else:
+        count_fn = jax.jit(lambda idx, km, ln: backward_search(idx, km, ln))
 
     # warmup: compile + axon first-transfer handshake
     out = count_fn(index, batches[0], lengths_d)
+    jax.block_until_ready(out)
+    mark("search compiled + first batch ran")
     np.asarray(out[0])
+    mark("first device->host transfer done")
     for i in range(args.warmup):
         jax.block_until_ready(count_fn(index, batches[i], lengths_d))
+    mark("warmup done")
 
     # throughput: dispatch all, block once
     t0 = time.perf_counter()
@@ -112,16 +150,27 @@ def main() -> int:
 
     extras = {}
     if args.resolve:
-        res_fn = jax.jit(
-            lambda idx, km, ln: resolve_intervals(
-                idx, *backward_search(idx, km, ln), max_hits=32
-            )
-        )
-        jax.block_until_ready(res_fn(index, batches[0], lengths_d))
+        # full query step (search + LF-resolve + attribution) at a batch
+        # size tuned for the resolve row expansion (B*max_hits rows walk)
+        Br, H = 16384, 32
+        from readserver_tpu.ops import sample_histogram
+
+        def _res(idx, km, ln):
+            l, u = backward_search(idx, km, ln)
+            rid, off, valid = resolve_intervals(idx, l, u, max_hits=H)
+            return u - l, rid, off, sample_histogram(idx, rid, valid)
+
+        res_fn = jax.jit(_res)
+        rb = [b[:Br] for b in batches[:8]]
+        rlen = lengths_d[:Br]
+        mark("resolve path compiling")
+        np.asarray(res_fn(index, rb[0], rlen)[0])
+        mark("resolve path timing")
         t2 = time.perf_counter()
-        for i in range(8):
-            jax.block_until_ready(res_fn(index, batches[i], lengths_d))
-        extras["resolve_searches_per_s"] = round(B * 8 / (time.perf_counter() - t2))
+        outs = [res_fn(index, rb[i], rlen) for i in range(8)]
+        total = np.asarray(jnp.stack([o[0] for o in outs]).sum())
+        extras["resolve_queries_per_s"] = round(Br * 8 / (time.perf_counter() - t2))
+        extras["resolve_fast_path"] = bool(index.lf is not None)
 
     result = {
         "metric": "kmer_backward_searches_per_s_per_chip",
@@ -134,6 +183,7 @@ def main() -> int:
         "batch": B,
         "kmer_len": k,
         "n_symbols": packed.n,
+        "prefix_lut_order": p,
         "device": dev_kind,
         **extras,
     }

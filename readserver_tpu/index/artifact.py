@@ -29,6 +29,7 @@ _ARRAYS = [
     "corpus_packed",
     "read_offsets",
 ]
+_OPTIONAL_ARRAYS = ["lf", "mark_rank", "sample_pairs"]
 
 MANIFEST_NAME = "manifest.json"
 
@@ -44,7 +45,11 @@ def corpus_fingerprint(index: PackedIndex) -> str:
 def save_artifact(index: PackedIndex, path: str | Path) -> Path:
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    for name in _ARRAYS:
+    arrays = list(_ARRAYS)
+    for name in _OPTIONAL_ARRAYS:
+        if getattr(index, name) is not None:
+            arrays.append(name)
+    for name in arrays:
         np.save(path / f"{name}.npy", getattr(index, name))
     manifest = {
         "format_version": index.config.format_version,
@@ -54,7 +59,8 @@ def save_artifact(index: PackedIndex, path: str | Path) -> Path:
         "num_samples": index.num_samples,
         "sample_names": index.sample_names,
         "corpus_fingerprint": corpus_fingerprint(index),
-        "arrays": _ARRAYS,
+        "arrays": arrays,
+        "sample_rate": index.sample_rate,
     }
     tmp = path / (MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
@@ -73,7 +79,8 @@ def load_artifact(path: str | Path, mmap: bool = True) -> PackedIndex:
         )
     mode = "r" if mmap else None
     arrays = {
-        name: np.load(path / f"{name}.npy", mmap_mode=mode) for name in _ARRAYS
+        name: np.load(path / f"{name}.npy", mmap_mode=mode)
+        for name in manifest["arrays"]
     }
     return PackedIndex(
         config=config,
@@ -81,6 +88,7 @@ def load_artifact(path: str | Path, mmap: bool = True) -> PackedIndex:
         num_reads=manifest["num_reads"],
         num_samples=manifest["num_samples"],
         sample_names=manifest["sample_names"],
+        sample_rate=manifest.get("sample_rate", 0),
         **arrays,
     )
 

@@ -42,6 +42,13 @@ class PackedIndex:
     corpus_packed: np.ndarray   # uint8
     read_offsets: np.ndarray    # int64 [num_reads+1] (base offsets)
     sample_names: list[str] = field(default_factory=list)
+    # fast-resolve tier (optional): precomputed LF array with sampled
+    # (read_id, offset) pairs — one gather per walk step, walk bound =
+    # sample_rate instead of max read length
+    lf: np.ndarray | None = None            # int32 [n]; sign bit = sampled
+    mark_rank: np.ndarray | None = None     # uint32 [NB+1, row_words]
+    sample_pairs: np.ndarray | None = None  # int32 [n_marked, 2]
+    sample_rate: int = 0                    # 0 = fast resolve absent
 
     @property
     def num_blocks(self) -> int:
@@ -114,6 +121,8 @@ def build_index(
     sample_ids: np.ndarray | Sequence[int] | None = None,
     config: IndexConfig | None = None,
     sample_names: Sequence[str] | None = None,
+    fast_resolve: bool = True,
+    sample_rate: int = 32,
 ) -> PackedIndex:
     config = config or IndexConfig()
     codes = [
@@ -138,10 +147,38 @@ def build_index(
     dollar_map = np.searchsorted(starts, starts_of_rows).astype(np.uint32)
     if not np.array_equal(starts[dollar_map], starts_of_rows):
         raise AssertionError("BWT $-rows must align with read starts")
-    del dollar_rows, starts_of_rows, sa, text
+    del dollar_rows, starts_of_rows
 
     rank_blocks, C, counts = packing.pack_rank_blocks(bwt, config)
     sym4 = packing.pack_sym4(bwt)
+
+    lf = mark_rank = sample_pairs = None
+    srate = 0
+    if fast_resolve:
+        lf = packing.compute_lf(bwt, C)
+        # per-read text-position sampling: mark rows whose suffix offset is
+        # a positive multiple of sample_rate (offset-0 rows are $-terminal
+        # already); the walk then ends within < sample_rate steps
+        read_of = np.searchsorted(starts, sa, side="right") - 1
+        offsets = sa.astype(np.int64) - starts[read_of]
+        # exclude offset-0 rows ($-terminal already) and sentinel-position
+        # rows (offset == read length; unreachable by LF walks)
+        marked = (
+            (offsets % sample_rate == 0)
+            & (offsets > 0)
+            & (offsets < lengths[read_of])
+        )
+        mark_rank = packing.pack_bit_rank(marked, config)
+        sample_pairs = np.stack(
+            [read_of[marked].astype(np.int32), offsets[marked].astype(np.int32)],
+            axis=1,
+        )
+        if sample_pairs.shape[0] == 0:  # all reads shorter than sample_rate
+            sample_pairs = np.zeros((1, 2), dtype=np.int32)
+        lf = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
+        srate = sample_rate
+        del read_of, offsets, marked
+    del sa, text
 
     if sample_ids is None:
         sample_ids_arr = np.zeros(m, dtype=np.int32)
@@ -172,4 +209,8 @@ def build_index(
         sample_names=list(sample_names)
         if sample_names is not None
         else [f"sample_{i}" for i in range(num_samples)],
+        lf=lf,
+        mark_rank=mark_rank,
+        sample_pairs=sample_pairs,
+        sample_rate=srate,
     )

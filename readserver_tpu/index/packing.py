@@ -85,6 +85,58 @@ def unpack_sym4(sym4: np.ndarray, n: int) -> np.ndarray:
     return ((w >> shifts) & 0xF).astype(np.uint8).reshape(-1)[:n]
 
 
+def pack_bit_rank(bits: np.ndarray, config: IndexConfig) -> np.ndarray:
+    """Single bitvector → rank-block table [NB+1, row_words] (same row
+    layout as one symbol plane of :func:`pack_rank_blocks`; queried with the
+    same device kernel at symbol index 0).  Used for the sampled-row mark
+    rank of the fast resolve path."""
+    bits = np.asarray(bits, dtype=bool)
+    n = len(bits)
+    S, W, R = config.block_size, config.words_per_block, config.row_words
+    nb = max(1, -(-n // S))
+    padded = np.zeros(nb * S, dtype=bool)
+    padded[:n] = bits
+    table = np.zeros((nb + 1, R), dtype=np.uint32)
+    words = np.packbits(padded, bitorder="little").view("<u4").reshape(nb, W)
+    table[:nb, 1 : 1 + W] = words
+    per_block = padded.reshape(nb, S).sum(axis=1, dtype=np.int64)
+    ckpt = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(per_block, out=ckpt[1:])
+    if ckpt[-1] >= 1 << 32:
+        raise ValueError("mark rank checkpoint exceeds uint32")
+    table[:, 0] = ckpt.astype(np.uint32)
+    return table
+
+
+def compute_lf(bwt: np.ndarray, C: np.ndarray, chunk: int = 1 << 24) -> np.ndarray:
+    """LF-mapping array: LF[i] = C[BWT[i]] + occ(BWT[i], i), int32 [n].
+
+    One precomputed gather replaces the (symbol readout + rank) pair in
+    every LF-walk step (SURVEY.md §3.3) — the classic FM LF/psi array,
+    affordable here because HBM is the budget, not cache.  For ``$`` rows
+    LF[i] < num_reads and equals the row's ``$``-rank, which doubles as the
+    walk-terminal detector and the dollar_map key.
+    """
+    n = len(bwt)
+    lf = np.empty(n, dtype=np.int32)
+    running = np.asarray(C[:5], dtype=np.int64).copy()
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        sub = bwt[a:b]
+        for c in range(5):
+            mask = sub == c
+            cnt = int(mask.sum())
+            if not cnt:
+                continue
+            cs = np.cumsum(mask) - 1  # occ within chunk at each masked pos
+            vals = running[c] + cs[mask]
+            if vals[-1] >= 1 << 31:
+                raise ValueError("LF overflows int32; shard the index")
+            lf[a:b][mask] = vals.astype(np.int32)
+            running[c] += cnt
+    return lf
+
+
 def occ_scalar(
     rank_blocks: np.ndarray, config: IndexConfig, c: int, i: int
 ) -> int:

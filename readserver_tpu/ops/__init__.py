@@ -9,13 +9,21 @@ flow), and explicitly int32/uint32 on the hot path.
 
 from readserver_tpu.ops.types import DeviceIndex
 from readserver_tpu.ops.rank import occ
-from readserver_tpu.ops.search import backward_search, encode_query_batch
+from readserver_tpu.ops.search import (
+    backward_search,
+    backward_search_lut,
+    encode_query_batch,
+)
+from readserver_tpu.ops.lut import build_prefix_lut, default_lut_order
 from readserver_tpu.ops.resolve import resolve_intervals, sample_histogram
 
 __all__ = [
     "DeviceIndex",
     "occ",
     "backward_search",
+    "backward_search_lut",
+    "build_prefix_lut",
+    "default_lut_order",
     "encode_query_batch",
     "resolve_intervals",
     "sample_histogram",

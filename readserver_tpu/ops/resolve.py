@@ -86,16 +86,89 @@ def expand_intervals(
     return jnp.where(valid, rows, 0), valid, seg
 
 
+def resolve_rows_fast(
+    index: DeviceIndex,
+    rows: jax.Array,      # int32 [R] starting SA rows
+    valid: jax.Array,     # bool  [R]
+) -> tuple[jax.Array, jax.Array]:
+    """Sampled-LF walk: ``(read_id, offset)`` int32 [R] in < sample_rate
+    steps, one gather per step.
+
+    Uses the precomputed LF array (``lf[i] = C[BWT[i]] + occ(BWT[i], i)``,
+    sign bit marking sampled rows).  A walk ends either at a ``$``
+    (``lf value < num_reads`` — that value IS the dollar_map key) or at a
+    sampled row, whose mark-rank indexes the dense (read_id, offset) pair
+    table.  Walk bound = sample_rate, not max read length.
+    """
+    assert index.lf is not None and index.sample_rate > 0
+    R = rows.shape[0]
+    m = index.num_reads
+    n_marked = index.sample_pairs.shape[0]
+
+    def lookup_terminal(cur, steps):
+        """cur is terminal (either $-row or sampled row) — produce ids."""
+        raw = jnp.take(index.lf, cur, axis=0)
+        is_marked = raw < 0
+        val = raw & jnp.int32(0x7FFFFFFF)
+        # $ path: val = dollar rank
+        rid_d = jnp.take(index.dollar_map, jnp.clip(val, 0, max(m - 1, 0)))
+        # sampled path: mark-rank → (read_id, offset)
+        slot = rank_ops.occ_rows(
+            index.mark_rank,
+            jnp.zeros_like(cur),
+            cur,
+            rows_per_symbol=index.mark_rank.shape[0],
+            log2_block=index.log2_block,
+            words_per_block=index.words_per_block,
+        )
+        pair = jnp.take(
+            index.sample_pairs,
+            jnp.clip(slot, 0, max(n_marked - 1, 0)),
+            axis=0,
+        )
+        rid = jnp.where(is_marked, pair[:, 0], rid_d)
+        off = jnp.where(is_marked, pair[:, 1] + steps, steps)
+        return rid, off
+
+    def body(t, state):
+        cur, done, steps = state
+        raw = jnp.take(index.lf, cur, axis=0)
+        is_term = (raw < 0) | ((raw & jnp.int32(0x7FFFFFFF)) < m)
+        step_now = ~done & ~is_term
+        nxt = raw & jnp.int32(0x7FFFFFFF)
+        cur = jnp.where(step_now, nxt, cur)
+        steps = steps + step_now.astype(jnp.int32)
+        done = done | is_term
+        return cur, done, steps
+
+    state = (
+        jnp.where(valid, rows, 0),
+        ~valid,
+        jnp.zeros(R, dtype=jnp.int32),
+    )
+    cur, done, steps = jax.lax.fori_loop(0, index.sample_rate, body, state)
+    rid, off = lookup_terminal(cur, steps)
+    rid = jnp.where(valid & done, rid, -1)
+    off = jnp.where(valid & done, off, -1)
+    return rid, off
+
+
 def resolve_intervals(
     index: DeviceIndex,
     l: jax.Array,
     u: jax.Array,
     max_hits: int,
+    use_fast: bool | None = None,
     **kw,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """→ ``(read_id, offset, valid)``, each [B, max_hits]."""
     rows, valid, _ = expand_intervals(l, u, max_hits)
-    read_id, offset = resolve_rows(index, rows, valid, **kw)
+    if use_fast is None:
+        use_fast = index.lf is not None and index.sample_rate > 0
+    if use_fast:
+        read_id, offset = resolve_rows_fast(index, rows, valid)
+    else:
+        read_id, offset = resolve_rows(index, rows, valid, **kw)
     B = l.shape[0]
     return (
         read_id.reshape(B, max_hits),

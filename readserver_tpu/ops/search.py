@@ -7,10 +7,20 @@ bounds, SGA convention).  Here the whole batch advances one character per
 
     l' = C[c] + occ(c, l);   u' = C[c] + occ(c, u)
 
-with masking for variable-length queries and already-empty intervals (no
-data-dependent control flow under jit).  Both ranks of a step are fused
-into one ``[2B]`` gather so each scan step is a single row-gather +
-popcount pass.
+with masking for variable-length queries and already-empty intervals.  Both
+ranks of a step fuse into one ``[2B]`` row gather per step.
+
+Two measured-on-v5e accelerations (rank row-gathers are the entire cost):
+
+* **Right-aligned queries + C-array init.** Queries are encoded right-
+  aligned, so every query's *last* character sits in column K-1, and the
+  first backward step needs no rank at all:
+  ``occ(c, 0) = 0`` and ``occ(c, n) = count(c)``, hence
+  ``l0 = C[c], u0 = C[c+1]``.
+* **Prefix LUT.** ``lut[id(w)] = interval(w)`` for every p-mer ``w``
+  (built on device in ~2.7·4^p ranks, ops/lut.py) replaces the first p
+  steps of every query with a single row gather — for 31-mers with p=12,
+  38 rank gathers instead of 62.
 """
 
 from __future__ import annotations
@@ -29,7 +39,11 @@ from readserver_tpu.ops.types import DeviceIndex
 def encode_query_batch(
     kmers: Sequence[np.ndarray | str | bytes], max_len: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """k-mers → (codes int32 [B, max_len] left-aligned 0-padded, lengths)."""
+    """k-mers → (codes int32 [B, max_len] RIGHT-aligned 0-padded, lengths).
+
+    Right alignment puts every query's final character in the last column,
+    which the C-init and prefix-LUT fast paths rely on.
+    """
     B = len(kmers)
     out = np.zeros((B, max_len), dtype=np.int32)
     lengths = np.zeros(B, dtype=np.int32)
@@ -38,54 +52,81 @@ def encode_query_batch(
         L = len(codes)
         if L == 0 or L > max_len:
             raise ValueError(f"query length {L} outside [1, {max_len}]")
-        out[b, :L] = codes
+        out[b, max_len - L :] = codes
         lengths[b] = L
     return out, lengths
 
 
+def _scan_steps(index, rank_fn, kmers, lengths, l, u, last_col: int):
+    """Masked lockstep steps over columns last_col-1 .. 0."""
+    B, K = kmers.shape
+    C = index.C
+    if last_col <= 0:
+        return l, u
+    cols = jnp.flip(kmers[:, :last_col].T, axis=0)           # [last_col, B]
+    js = jnp.arange(last_col - 1, -1, -1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        l, u = carry
+        c, j = xs
+        active = (j >= K - lengths) & (l < u)
+        occ2 = rank_fn(jnp.concatenate([c, c]), jnp.concatenate([l, u]))
+        base = jnp.take(C, c)
+        l = jnp.where(active, base + occ2[:B], l)
+        u = jnp.where(active, base + occ2[B:], u)
+        return (l, u), None
+
+    (l, u), _ = jax.lax.scan(step, (l, u), (cols, js))
+    return l, u
+
+
 def backward_search(
     index: DeviceIndex,
-    kmers: jax.Array,     # int32 [B, K], codes 1..4 left-aligned, 0 padding
-    lengths: jax.Array,   # int32 [B]
+    kmers: jax.Array,     # int32 [B, K], codes 1..4 RIGHT-aligned, 0 padding
+    lengths: jax.Array,   # int32 [B], all >= 1
     rank_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """→ half-open interval ``(l, u)`` per query, int32 [B] each.
 
     ``count = u - l`` (occ monotonicity keeps ``l <= u`` throughout).
-    ``rank_fn(c, i) -> occ`` may be overridden (Pallas kernel / sharded
-    merge); default is the jnp fused-row rank.
     """
     B, K = kmers.shape
     if rank_fn is None:
         def rank_fn(c, i):
             return rank_ops.occ(index, c, i)
 
-    C = index.C
-    n = index.n
-    l0 = jnp.zeros(B, dtype=jnp.int32)
-    u0 = jnp.full(B, n, dtype=jnp.int32)
+    # free first step: last char's interval comes straight from C
+    c_last = kmers[:, K - 1]
+    l = jnp.take(index.C, c_last)
+    u = jnp.take(index.C, c_last + 1)
+    return _scan_steps(index, rank_fn, kmers, lengths, l, u, K - 1)
 
-    # scan right-to-left: step t processes character position j = K-1-t
-    cols = jnp.flip(kmers.T, axis=0)               # [K, B]
-    js = jnp.arange(K - 1, -1, -1, dtype=jnp.int32)  # [K]
 
-    def step(carry, xs):
-        l, u = carry
-        c, j = xs
-        active = (j < lengths) & (l < u)
-        # fuse both ranks into one gather: [2B] positions, same chars
-        cc = jnp.concatenate([c, c])
-        ii = jnp.concatenate([l, u])
-        occ2 = rank_fn(cc, ii)
-        base = jnp.take(C, c)
-        l2 = base + occ2[:B]
-        u2 = base + occ2[B:]
-        l = jnp.where(active, l2, l)
-        u = jnp.where(active, u2, u)
-        return (l, u), None
+def prefix_ids(kmers: jax.Array, p: int) -> jax.Array:
+    """int32 [B]: id of each query's last-p-character suffix (first char
+    most significant). Valid only for queries with length ≥ p."""
+    B, K = kmers.shape
+    tail = kmers[:, K - p :]                                  # [B, p]
+    weights = 4 ** jnp.arange(p - 1, -1, -1, dtype=jnp.int32)  # [p]
+    return jnp.sum((tail - 1) * weights[None, :], axis=1).astype(jnp.int32)
 
-    (l, u), _ = jax.lax.scan(step, (l0, u0), (cols, js))
-    return l, u
+
+def backward_search_lut(
+    index: DeviceIndex,
+    lut: jax.Array,       # int32 [4^p, 2] p-mer intervals (ops/lut.py)
+    p: int,
+    kmers: jax.Array,     # int32 [B, K] right-aligned; ALL lengths >= p
+    lengths: jax.Array,
+    rank_fn=None,
+) -> tuple[jax.Array, jax.Array]:
+    """LUT-accelerated search: first p steps collapse to one row gather."""
+    B, K = kmers.shape
+    if rank_fn is None:
+        def rank_fn(c, i):
+            return rank_ops.occ(index, c, i)
+    rows = jnp.take(lut, prefix_ids(kmers, p), axis=0)        # [B, 2]
+    l, u = rows[:, 0], rows[:, 1]
+    return _scan_steps(index, rank_fn, kmers, lengths, l, u, K - p)
 
 
 def interval_counts(l: jax.Array, u: jax.Array) -> jax.Array:

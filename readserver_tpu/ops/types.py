@@ -31,6 +31,10 @@ class DeviceIndex:
     dollar_map: jax.Array     # int32  [num_reads]
     read_to_sample: jax.Array # int32  [num_reads]
     read_lengths: jax.Array   # int32  [num_reads]
+    # fast-resolve tier (None when the artifact was built without it)
+    lf: jax.Array | None = None           # int32 [n]; sign bit = sampled row
+    mark_rank: jax.Array | None = None    # uint32 [NB+1, row_words]
+    sample_pairs: jax.Array | None = None # int32 [n_marked, 2]
     # static metadata
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_reads: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -39,6 +43,7 @@ class DeviceIndex:
     block_size: int = dataclasses.field(metadata=dict(static=True), default=256)
     words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
     max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
+    sample_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def log2_block(self) -> int:
@@ -60,6 +65,7 @@ class DeviceIndex:
         if packed.n >= (1 << 31):
             raise ValueError("single-device index must fit int32 positions")
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        has_fr = packed.lf is not None and packed.sample_rate > 0
         return cls(
             rank_rows=put(rank_rows),
             sym4=put(np.asarray(packed.sym4, dtype=np.uint32)),
@@ -67,6 +73,15 @@ class DeviceIndex:
             dollar_map=put(np.asarray(packed.dollar_map, dtype=np.int32)),
             read_to_sample=put(np.asarray(packed.read_to_sample, dtype=np.int32)),
             read_lengths=put(np.asarray(packed.read_lengths, dtype=np.int32)),
+            lf=put(np.asarray(packed.lf, dtype=np.int32)) if has_fr else None,
+            mark_rank=(
+                put(np.ascontiguousarray(packed.mark_rank)) if has_fr else None
+            ),
+            sample_pairs=(
+                put(np.asarray(packed.sample_pairs, dtype=np.int32))
+                if has_fr
+                else None
+            ),
             n=int(packed.n),
             num_reads=int(packed.num_reads),
             num_samples=int(packed.num_samples),
@@ -74,6 +89,7 @@ class DeviceIndex:
             block_size=cfg.block_size,
             words_per_block=cfg.words_per_block,
             max_read_len=int(packed.read_lengths.max()) if packed.num_reads else 1,
+            sample_rate=int(packed.sample_rate) if has_fr else 0,
         )
 
     def device_bytes(self) -> int:
@@ -92,6 +108,9 @@ jax.tree_util.register_dataclass(
         "dollar_map",
         "read_to_sample",
         "read_lengths",
+        "lf",
+        "mark_rank",
+        "sample_pairs",
     ],
     meta_fields=[
         "n",
@@ -101,6 +120,7 @@ jax.tree_util.register_dataclass(
         "block_size",
         "words_per_block",
         "max_read_len",
+        "sample_rate",
     ],
 )
 

@@ -12,6 +12,7 @@ topology of the reference becomes one SPMD program.
 from readserver_tpu.parallel.mesh import make_mesh
 from readserver_tpu.parallel.sharded import (
     ShardedIndex,
+    build_prefix_lut_sharded,
     build_sharded,
     make_sharded_query_fn,
     place_sharded,
@@ -23,4 +24,5 @@ __all__ = [
     "build_sharded",
     "place_sharded",
     "make_sharded_query_fn",
+    "build_prefix_lut_sharded",
 ]

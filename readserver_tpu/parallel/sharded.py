@@ -51,6 +51,14 @@ class ShardedIndex:
     rstarts: jax.Array      # int64  [S] read-id chunk start
     rlens: jax.Array        # int64  [S]
     C: jax.Array            # int64  [6] global, replicated
+    # fast-resolve tier (optional; same trio as DeviceIndex, sharded):
+    # lf by position range, mark rank re-packed per shard (global rank via
+    # the clamped-psum identity), sample pairs by global mark-rank range
+    lf_chunk: jax.Array | None = None      # int32 [S, maxlen]
+    mark_table: jax.Array | None = None    # uint32 [S, nbl_max+1, row_words]
+    spairs_chunk: jax.Array | None = None  # int32 [S, smax, 2]
+    sstarts: jax.Array | None = None       # int64 [S]
+    slens: jax.Array | None = None         # int64 [S]
     # static
     num_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -60,19 +68,25 @@ class ShardedIndex:
     block_size: int = dataclasses.field(metadata=dict(static=True), default=256)
     words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
     max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
+    sample_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def log2_block(self) -> int:
         return self.block_size.bit_length() - 1
 
+    @property
+    def has_fast_resolve(self) -> bool:
+        return self.sample_rate > 0 and self.lf_chunk is not None
+
 
 _STACKED = [
     "rank_rows", "sym4", "dollar_chunk", "sample_chunk",
     "starts", "lens", "dstarts", "dlens", "rstarts", "rlens",
+    "lf_chunk", "mark_table", "spairs_chunk", "sstarts", "slens",
 ]
 _META = [
     "num_shards", "n", "num_reads", "num_samples", "rows_per_symbol",
-    "block_size", "words_per_block", "max_read_len",
+    "block_size", "words_per_block", "max_read_len", "sample_rate",
 ]
 
 jax.tree_util.register_dataclass(
@@ -138,6 +152,39 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
     for s in range(S):
         sample_chunk[s, : rlens[s]] = rts[rstarts[s] : rends[s]]
 
+    # fast-resolve tier, sharded the same three ways
+    lf_chunk = mark_table = spairs_chunk = sstarts = slens = None
+    srate = 0
+    if packed.lf is not None and packed.sample_rate > 0:
+        srate = int(packed.sample_rate)
+        lf_all = np.asarray(packed.lf, dtype=np.int32)
+        maxlen = int(lens.max())
+        lf_chunk = np.zeros((S, max(maxlen, 1)), dtype=np.int32)
+        mark_stack = []
+        slens_list = []
+        for s in range(S):
+            piece = lf_all[starts[s] : ends[s]]
+            lf_chunk[s, : lens[s]] = piece
+            marked = piece < 0
+            mark_stack.append(packing.pack_bit_rank(marked, cfg))
+            slens_list.append(int(marked.sum()))
+        slens = np.asarray(slens_list, dtype=np.int64)
+        sstarts = np.zeros(S, dtype=np.int64)
+        np.cumsum(slens[:-1], out=sstarts[1:])
+        mb_max = max(t.shape[0] for t in mark_stack)
+        mark_table = np.zeros((S, mb_max, cfg.row_words), dtype=np.uint32)
+        for s, t in enumerate(mark_stack):
+            mark_table[s, : t.shape[0]] = t
+        smax = max(1, int(slens.max()))
+        spairs_chunk = np.zeros((S, smax, 2), dtype=np.int32)
+        pairs = np.asarray(packed.sample_pairs, dtype=np.int32)
+        total_marked = int(slens.sum())
+        assert total_marked <= pairs.shape[0] or total_marked == 0
+        for s in range(S):
+            spairs_chunk[s, : slens[s]] = pairs[
+                sstarts[s] : sstarts[s] + slens[s]
+            ]
+
     return ShardedIndex(
         rank_rows=rank_rows,
         sym4=sym4,
@@ -150,6 +197,12 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
         rstarts=rstarts,
         rlens=rlens,
         C=np.asarray(packed.C, dtype=np.int64),
+        lf_chunk=lf_chunk,
+        mark_table=mark_table,
+        spairs_chunk=spairs_chunk,
+        sstarts=sstarts,
+        slens=slens,
+        sample_rate=srate,
         num_shards=S,
         n=n,
         num_reads=m,
@@ -162,15 +215,18 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
 
 
 def sharding_specs(sidx: ShardedIndex) -> ShardedIndex:
-    """Pytree of PartitionSpecs matching ShardedIndex (C replicated)."""
-    kw = {f: P("shard") for f in _STACKED}
+    """Pytree of PartitionSpecs matching ShardedIndex (C replicated);
+    only the leading (stacked) axis of each field is sharded."""
+    kw = {}
+    for f in _STACKED:
+        v = getattr(sidx, f)
+        if v is None:
+            kw[f] = None
+        else:
+            kw[f] = P("shard", *([None] * (np.ndim(v) - 1)))
     kw["C"] = P()
     for f in _META:
         kw[f] = getattr(sidx, f)
-    # multi-dim stacked arrays: only the leading axis is sharded
-    for f in ["sym4", "dollar_chunk", "sample_chunk"]:
-        kw[f] = P("shard", None)
-    kw["rank_rows"] = P("shard", None, None)
     return ShardedIndex(**kw)
 
 
@@ -179,9 +235,12 @@ def place_sharded(sidx: ShardedIndex, mesh) -> ShardedIndex:
     specs = sharding_specs(sidx)
     placed = {}
     for f in _STACKED + ["C"]:
-        spec = getattr(specs, f)
+        v = getattr(sidx, f)
+        if v is None:
+            placed[f] = None
+            continue
         placed[f] = jax.device_put(
-            np.asarray(getattr(sidx, f)), NamedSharding(mesh, spec)
+            np.asarray(v), NamedSharding(mesh, getattr(specs, f))
         )
     for f in _META:
         placed[f] = getattr(sidx, f)
@@ -207,6 +266,12 @@ class _ShardLocal:
         self.rlen = sidx.rlens[0]
         self.C = sidx.C
         self.meta = sidx
+        if sidx.has_fast_resolve:
+            self.lf = sidx.lf_chunk[0]
+            self.mark_table = sidx.mark_table[0]
+            self.spairs = sidx.spairs_chunk[0]
+            self.sstart = sidx.sstarts[0]
+            self.slen = sidx.slens[0]
 
     def occ_global(self, c: jax.Array, i: jax.Array) -> jax.Array:
         """c int32 [X], i int64 [X] → global occ int64 [X] (one psum)."""
@@ -252,12 +317,52 @@ class _ShardLocal:
         v = jnp.take(self.sample_chunk, loc, axis=0)
         return jax.lax.psum(jnp.where(inr, v, 0), "shard")
 
+    # ---------------------------------------------- fast-resolve helpers
 
-def _query_body(sidx, kmers, lengths, *, max_hits: int):
+    def lf_raw_global(self, i: jax.Array) -> jax.Array:
+        """Raw LF value (sign bit = sampled) at global rows i (int64 [X]).
+
+        Exactly one shard is in range; the masked psum preserves the sign
+        bit because all other contributions are 0."""
+        lf = self.lf
+        inr = (i >= self.start) & (i < self.start + self.len)
+        loc = jnp.clip(i - self.start, 0, jnp.maximum(self.len - 1, 0)).astype(
+            jnp.int32
+        )
+        v = jnp.take(lf, loc, axis=0)
+        return jax.lax.psum(jnp.where(inr, v, 0), "shard")
+
+    def mark_rank_global(self, i: jax.Array) -> jax.Array:
+        """# of sampled rows before global row i — clamped-psum identity,
+        same decomposition as occ_global."""
+        loc = jnp.clip(i - self.start, 0, self.len).astype(jnp.int32)
+        r = occ_rows(
+            self.mark_table,
+            jnp.zeros_like(loc),
+            loc,
+            rows_per_symbol=self.mark_table.shape[0],
+            log2_block=self.meta.log2_block,
+            words_per_block=self.meta.words_per_block,
+        )
+        return jax.lax.psum(r.astype(jnp.int64), "shard")
+
+    def sample_pair_global(self, slot: jax.Array) -> jax.Array:
+        """Global mark-rank slot (int64 [X]) → (read_id, offset) int32 [X,2]."""
+        inr = (slot >= self.sstart) & (slot < self.sstart + self.slen)
+        loc = jnp.clip(
+            slot - self.sstart, 0, jnp.maximum(self.slen - 1, 0)
+        ).astype(jnp.int32)
+        v = jnp.take(self.spairs, loc, axis=0)
+        return jax.lax.psum(jnp.where(inr[:, None], v, 0), "shard")
+
+
+def _query_body(sidx, lut, kmers, lengths, *, max_hits: int, lut_p: int):
     """Full query step inside shard_map: search + resolve + attribution.
 
     kmers int32 [Bloc, K]; all interval math int64; outputs replicated
-    across 'shard' (established by psum), sharded over 'dp'.
+    across 'shard' (established by psum), sharded over 'dp'.  When
+    ``lut`` is given (int64 [4^p, 2], replicated) every query length must
+    be ≥ lut_p — the engine routes shorter batches to the plain variant.
     """
     loc = _ShardLocal(sidx)
     B, K = kmers.shape
@@ -269,15 +374,27 @@ def _query_body(sidx, kmers, lengths, *, max_hits: int):
         # to satisfy shard_map's varying-manual-axes check
         return jax.lax.pcast(x, ("dp",), to="varying")
 
-    l0 = vary(jnp.zeros(B, dtype=jnp.int64))
-    u0 = vary(jnp.full(B, n, dtype=jnp.int64))
-    cols = jnp.flip(kmers.T, axis=0)
-    js = jnp.arange(K - 1, -1, -1, dtype=jnp.int32)
+    if lut is not None:
+        from readserver_tpu.ops.search import prefix_ids
+
+        rows0 = jnp.take(lut, prefix_ids(kmers, lut_p), axis=0)
+        l0, u0 = rows0[:, 0], rows0[:, 1]
+        last_col = K - lut_p
+    else:
+        # right-aligned queries: last char in column K-1 for every query,
+        # so the first step's interval comes straight from the C array
+        # (occ(c,0)=0, occ(c,n)=count(c))
+        c_last = kmers[:, K - 1]
+        l0 = jnp.take(loc.C, c_last)  # already 'dp'-varying via kmers
+        u0 = jnp.take(loc.C, c_last + 1)
+        last_col = K - 1
+    cols = jnp.flip(kmers[:, :last_col].T, axis=0)
+    js = jnp.arange(last_col - 1, -1, -1, dtype=jnp.int32)
 
     def step(carry, xs):
         l, u = carry
         c, j = xs
-        active = (j < lengths) & (l < u)
+        active = (j >= K - lengths) & (l < u)
         occ2 = loc.occ_global(jnp.concatenate([c, c]), jnp.concatenate([l, u]))
         base = jnp.take(loc.C, c)
         l = jnp.where(active, base + occ2[:B], l)
@@ -294,29 +411,59 @@ def _query_body(sidx, kmers, lengths, *, max_hits: int):
     rows = jnp.where(valid, rows, 0)
 
     Rr = B * H
-    state = (
-        rows,
-        ~valid,
-        vary(jnp.full(Rr, -1, dtype=jnp.int32)),
-        vary(jnp.full(Rr, -1, dtype=jnp.int32)),
-    )
+    if sidx.has_fast_resolve:
+        # sampled-LF walk: 1 psum-gather per step, bound = sample_rate
+        state = (rows, ~valid, vary(jnp.zeros(Rr, dtype=jnp.int32)))
 
-    def walk(t, state):
-        cur, done, read_id, offset = state
-        c = loc.sym_global(cur)
-        o = loc.occ_global(c, cur)
-        hit = (c == 0) & ~done
-        rid = loc.dollar_global(o)
-        read_id = jnp.where(hit, rid, read_id)
-        offset = jnp.where(hit, t, offset)
-        done = done | (c == 0)
-        nxt = jnp.take(loc.C, c) + o
-        cur = jnp.where(done, cur, nxt)
-        return cur, done, read_id, offset
+        def fwalk(t, state):
+            cur, done, steps = state
+            raw = loc.lf_raw_global(cur)
+            val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
+            is_term = (raw < 0) | (val < m)
+            step_now = ~done & ~is_term
+            cur = jnp.where(step_now, val, cur)
+            steps = steps + step_now.astype(jnp.int32)
+            done = done | is_term
+            return cur, done, steps
 
-    _, _, read_id, offset = jax.lax.fori_loop(
-        0, sidx.max_read_len, walk, state
-    )
+        cur, done, steps = jax.lax.fori_loop(
+            0, max(sidx.sample_rate, 1), fwalk, state
+        )
+        raw = loc.lf_raw_global(cur)
+        is_marked = raw < 0
+        val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
+        rid_d = loc.dollar_global(val)
+        slot = loc.mark_rank_global(cur)
+        pair = loc.sample_pair_global(slot)
+        read_id = jnp.where(is_marked, pair[:, 0], rid_d)
+        offset = jnp.where(is_marked, pair[:, 1] + steps, steps)
+        ok = valid & done
+        read_id = jnp.where(ok, read_id, -1)
+        offset = jnp.where(ok, offset, -1)
+    else:
+        state = (
+            rows,
+            ~valid,
+            vary(jnp.full(Rr, -1, dtype=jnp.int32)),
+            vary(jnp.full(Rr, -1, dtype=jnp.int32)),
+        )
+
+        def walk(t, state):
+            cur, done, read_id, offset = state
+            c = loc.sym_global(cur)
+            o = loc.occ_global(c, cur)
+            hit = (c == 0) & ~done
+            rid = loc.dollar_global(o)
+            read_id = jnp.where(hit, rid, read_id)
+            offset = jnp.where(hit, t, offset)
+            done = done | (c == 0)
+            nxt = jnp.take(loc.C, c) + o
+            cur = jnp.where(done, cur, nxt)
+            return cur, done, read_id, offset
+
+        _, _, read_id, offset = jax.lax.fori_loop(
+            0, sidx.max_read_len, walk, state
+        )
 
     sample = loc.sample_global(jnp.clip(read_id, 0, max(m - 1, 0)))
     S = sidx.num_samples
@@ -336,14 +483,23 @@ def _query_body(sidx, kmers, lengths, *, max_hits: int):
     )
 
 
-def make_sharded_query_fn(sidx: ShardedIndex, mesh, max_hits: int = 64):
-    """jit'd SPMD query fn: ``(sidx, kmers [B,K] i32, lengths [B] i32) →
-    dict`` with B sharded over 'dp' and the index over 'shard'."""
+def make_sharded_query_fn(
+    sidx: ShardedIndex,
+    mesh,
+    max_hits: int = 64,
+    lut_p: int = 0,
+):
+    """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
+
+    Signature: ``fn(sidx, lut_or_None, kmers [B,K] i32, lengths [B] i32)
+    → dict``.  When built with ``lut_p > 0`` the returned fn REQUIRES a
+    replicated int64 [4^p, 2] LUT and query lengths ≥ lut_p.
+    """
     idx_specs = sharding_specs(sidx)
     fn = jax.shard_map(
-        partial(_query_body, max_hits=max_hits),
+        partial(_query_body, max_hits=max_hits, lut_p=lut_p),
         mesh=mesh,
-        in_specs=(idx_specs, P("dp", None), P("dp")),
+        in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),
         out_specs=dict(
             l=P("dp"),
             u=P("dp"),
@@ -355,3 +511,35 @@ def make_sharded_query_fn(sidx: ShardedIndex, mesh, max_hits: int = 64):
         ),
     )
     return jax.jit(fn)
+
+
+def build_prefix_lut_sharded(sidx: ShardedIndex, mesh, p: int) -> jax.Array:
+    """Prefix LUT (int64 [4^p, 2], replicated) built with the sharded
+    global rank — same level-BFS as ops/lut.py, bit-exact with the sharded
+    search it accelerates."""
+    idx_specs = sharding_specs(sidx)
+
+    def level_body(sidx, l, u):
+        loc = _ShardLocal(sidx)
+        size = l.shape[0]
+        cc = jnp.repeat(jnp.arange(1, 5, dtype=jnp.int32), size)
+        occ2 = loc.occ_global(
+            jnp.concatenate([cc, cc]),
+            jnp.concatenate([jnp.tile(l, 4), jnp.tile(u, 4)]),
+        )
+        base = jnp.take(loc.C, cc)
+        return base + occ2[: 4 * size], base + occ2[4 * size :]
+
+    level_fn = jax.jit(
+        jax.shard_map(
+            level_body,
+            mesh=mesh,
+            in_specs=(idx_specs, P(), P()),
+            out_specs=(P(), P()),
+        )
+    )
+    l = sidx.C[1:5]
+    u = sidx.C[2:6]
+    for _ in range(p - 1):
+        l, u = level_fn(sidx, l, u)
+    return jnp.stack([l, u], axis=1)

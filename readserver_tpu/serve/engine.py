@@ -51,7 +51,9 @@ class QueryEngine:
         self.sample_names = packed.sample_names or ["sample_0"]
         self._sharded = mesh is not None and self.cfg.num_shards > 1
         if self._sharded:
+            from readserver_tpu.ops import default_lut_order
             from readserver_tpu.parallel import (
+                build_prefix_lut_sharded,
                 build_sharded,
                 make_sharded_query_fn,
                 place_sharded,
@@ -61,15 +63,52 @@ class QueryEngine:
             self.sidx = place_sharded(
                 build_sharded(packed, self.cfg.num_shards), mesh
             )
-            self._query_fn = make_sharded_query_fn(
-                self.sidx, mesh, max_hits=self.H
+            self.lut_p = (
+                self.cfg.prefix_lut_order
+                if self.cfg.prefix_lut_order is not None
+                else default_lut_order(packed.n)
             )
-            self._count_fn = None
+            self.lut = (
+                build_prefix_lut_sharded(self.sidx, mesh, self.lut_p)
+                if self.lut_p
+                else None
+            )
+            self._query_fn = make_sharded_query_fn(
+                self.sidx, mesh, max_hits=self.H, lut_p=0
+            )
+            self._query_fn_lut = (
+                make_sharded_query_fn(
+                    self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p
+                )
+                if self.lut is not None
+                else None
+            )
         else:
             self.index = DeviceIndex.from_packed(packed)
+            from readserver_tpu.ops import (
+                backward_search_lut,
+                build_prefix_lut,
+                default_lut_order,
+            )
 
-            def _full(idx, codes, lengths):
-                l, u = backward_search(idx, codes, lengths)
+            self.lut_p = (
+                self.cfg.prefix_lut_order
+                if self.cfg.prefix_lut_order is not None
+                else default_lut_order(packed.n)
+            )
+            self.lut = (
+                build_prefix_lut(self.index, self.lut_p) if self.lut_p else None
+            )
+
+            def _search(idx, lut, codes, lengths, use_lut: bool):
+                if use_lut:
+                    return backward_search_lut(
+                        idx, lut, self.lut_p, codes, lengths
+                    )
+                return backward_search(idx, codes, lengths)
+
+            def _full(idx, lut, codes, lengths, use_lut):
+                l, u = _search(idx, lut, codes, lengths, use_lut)
                 rid, off, valid = resolve_intervals(idx, l, u, self.H)
                 hist = sample_histogram(idx, rid, valid)
                 return dict(
@@ -77,12 +116,12 @@ class QueryEngine:
                     valid=valid, sample_hist=hist,
                 )
 
-            def _count(idx, codes, lengths):
-                l, u = backward_search(idx, codes, lengths)
+            def _count(idx, lut, codes, lengths, use_lut):
+                l, u = _search(idx, lut, codes, lengths, use_lut)
                 return dict(l=l, u=u, count=u - l)
 
-            self._full_jit = jax.jit(_full)
-            self._count_jit = jax.jit(_count)
+            self._full_jit = jax.jit(_full, static_argnames=("use_lut",))
+            self._count_jit = jax.jit(_count, static_argnames=("use_lut",))
 
     # ------------------------------------------------------------- helpers
 
@@ -90,26 +129,40 @@ class QueryEngine:
         nq = len(kmers)
         if nq > self.B:
             raise ValueError(f"batch of {nq} exceeds configured {self.B}")
-        padded = list(kmers) + ["A"] * (self.B - nq)
+        # pad with full-length dummies so padding never disables the LUT path
+        padded = list(kmers) + ["A" * self.K] * (self.B - nq)
         codes, lengths = encode_query_batch(padded, self.K)
         return codes, lengths, nq
 
     def _run(self, kmers: list[str], counts_only: bool) -> dict[str, np.ndarray]:
         codes, lengths, nq = self._pad_encode(kmers)
         if self._sharded:
-            out = self._query_fn(self.sidx, codes, lengths)
-        elif counts_only:
-            out = self._count_jit(self.index, codes, lengths)
+            use_lut = bool(
+                self.lut is not None
+                and nq
+                and int(lengths[:nq].min()) >= self.lut_p
+            )
+            if use_lut:
+                out = self._query_fn_lut(self.sidx, self.lut, codes, lengths)
+            else:
+                out = self._query_fn(self.sidx, None, codes, lengths)
         else:
-            out = self._full_jit(self.index, codes, lengths)
+            use_lut = bool(
+                self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
+            ) if nq else False
+            fn = self._count_jit if counts_only else self._full_jit
+            out = fn(self.index, self.lut, codes, lengths, use_lut)
         return {k: np.asarray(v)[:nq] for k, v in out.items()}
 
     # ------------------------------------------------------------ public
 
     def warmup(self) -> None:
-        """Compile both paths and pay the first-transfer handshake."""
-        self._run(["A"], counts_only=True)
+        """Compile all path variants and pay the first-transfer handshake."""
+        self._run(["A"], counts_only=True)       # plain path
         self._run(["A"], counts_only=False)
+        if self.lut is not None:
+            self._run(["A" * self.K], counts_only=True)   # LUT path
+            self._run(["A" * self.K], counts_only=False)
 
     def count_batch(self, kmers: list[str]) -> list[QueryResult]:
         out = self._run(kmers, counts_only=True)

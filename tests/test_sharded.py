@@ -37,7 +37,7 @@ def _run(packed, corpus, dp, shards, num_queries=32, seed=21):
     k = corpus.spec.kmer_len
     kmers = sample_query_kmers(corpus, num_queries, k, seed=seed, miss_frac=0.2)
     codes, lengths = encode_query_batch(kmers, k)
-    out = qfn(sidx, codes, lengths)
+    out = qfn(sidx, None, codes, lengths)
     return kmers, {k2: np.asarray(v) for k2, v in out.items()}
 
 
@@ -69,7 +69,7 @@ def test_sharded_matches_single_device(packed, tiny_corpus):
     mesh = make_mesh(data_parallel=2, num_shards=4)
     sidx = place_sharded(build_sharded(packed, 4), mesh)
     qfn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
-    out = qfn(sidx, codes, lengths)
+    out = qfn(sidx, None, codes, lengths)
     assert np.array_equal(np.asarray(out["l"]), np.asarray(sl))
     assert np.array_equal(np.asarray(out["u"]), np.asarray(su))
 
@@ -95,6 +95,60 @@ def test_shard_boundaries_block_aligned(packed):
     lens = np.asarray(sidx.lens)
     assert lens.sum() == packed.n
     assert np.all(lens >= 0)
+
+
+def test_sharded_lut_path(packed, fm, tiny_corpus):
+    """LUT-accelerated sharded search == plain sharded search == oracle."""
+    from readserver_tpu.parallel import build_prefix_lut_sharded
+
+    corpus = tiny_corpus
+    mesh = make_mesh(data_parallel=2, num_shards=4)
+    sidx = place_sharded(build_sharded(packed, 4), mesh)
+    p = 5
+    lut = build_prefix_lut_sharded(sidx, mesh, p)
+    qfn_lut = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS, lut_p=p)
+    qfn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    k = corpus.spec.kmer_len
+    kmers = sample_query_kmers(corpus, 32, k, seed=24, miss_frac=0.2)
+    codes, lengths = encode_query_batch(kmers, k)
+    out_l = qfn_lut(sidx, lut, codes, lengths)
+    out_p = qfn(sidx, None, codes, lengths)
+    for key in ["l", "u", "count"]:
+        assert np.array_equal(np.asarray(out_l[key]), np.asarray(out_p[key])), key
+    for key in ["read_id", "offset", "valid"]:
+        assert np.array_equal(np.asarray(out_l[key]), np.asarray(out_p[key])), key
+    for b, km in enumerate(kmers):
+        assert (int(out_l["l"][b]), int(out_l["u"][b])) == fm.backward_search(km)
+
+
+def test_sharded_fast_resolve_used(packed):
+    """Indexes built with fast_resolve shard the LF tier too."""
+    sidx = build_sharded(packed, 8)
+    assert sidx.has_fast_resolve
+    assert np.asarray(sidx.slens).sum() == np.asarray(
+        (np.asarray(packed.lf) < 0)
+    ).sum()
+
+
+def test_sharded_slow_walk_still_works(tiny_corpus, fm):
+    """Artifacts without the fast tier fall back to the symbol walk."""
+    packed_slow = build_index(
+        tiny_corpus.reads,
+        sample_ids=tiny_corpus.sample_ids,
+        fast_resolve=False,
+    )
+    kmers, out = _run(packed_slow, tiny_corpus, 2, 4, num_queries=16, seed=25)
+    for b, km in enumerate(kmers):
+        ol, ou = fm.backward_search(km)
+        want = sorted(fm.resolve_row(r) for r in range(ol, ou))
+        if len(want) > MAX_HITS:
+            continue
+        got = sorted(
+            (int(r), int(o))
+            for r, o, v in zip(out["read_id"][b], out["offset"][b], out["valid"][b])
+            if v
+        )
+        assert got == want
 
 
 def test_dollar_chunks_cover_all_reads(packed):
