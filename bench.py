@@ -61,6 +61,10 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--resolve", action="store_true",
                     help="also time the search+resolve+attribution step")
+    ap.add_argument("--profile", default="",
+                    help="write a jax.profiler trace to this directory")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the pre-timing parity self-check")
     args = ap.parse_args()
 
     import jax
@@ -131,6 +135,35 @@ def main() -> int:
         jax.block_until_ready(count_fn(index, batches[i], lengths_d))
     mark("warmup done")
 
+    parity_checked = False
+    if not args.no_parity:
+        # parity self-check before timing (SURVEY.md §4: oracle-diff idiom):
+        # LUT path == plain path on one batch, plus naive counts on a few
+        l1, u1 = count_fn(index, batches[0], lengths_d)
+        l2, u2 = jax.jit(backward_search)(index, batches[0], lengths_d)
+        if not (np.array_equal(np.asarray(l1), np.asarray(l2))
+                and np.array_equal(np.asarray(u1), np.asarray(u2))):
+            print(json.dumps({"error": "LUT/plain path mismatch"}))
+            return 1
+        if packed.n < 300_000_000:  # naive scan affordable
+            from readserver_tpu.oracle.naive import naive_count_matrix
+            mat = np.stack(corpus.reads)
+            counts = np.asarray(u1) - np.asarray(l1)
+            for qi in (0, 1):
+                want = naive_count_matrix(mat, kmers[qi].astype(np.uint8))
+                if int(counts[qi]) != want:
+                    print(json.dumps({"error": f"parity fail q{qi}: "
+                                      f"{int(counts[qi])} != {want}"}))
+                    return 1
+            del mat
+        parity_checked = True
+        mark("parity self-check passed")
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else None
+    )
+    if profile_cm is not None:
+        profile_cm.__enter__()
     # throughput: dispatch all, block once
     t0 = time.perf_counter()
     outs = [
@@ -138,6 +171,9 @@ def main() -> int:
     ]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    if profile_cm is not None:
+        profile_cm.__exit__(None, None, None)
+        mark(f"profiler trace written to {args.profile}")
     searches_per_s = B * R / dt
 
     # p50 latency: per-batch blocking
@@ -161,15 +197,16 @@ def main() -> int:
             return u - l, rid, off, sample_histogram(idx, rid, valid)
 
         res_fn = jax.jit(_res)
-        rb = [b[:Br] for b in batches[:8]]
+        rb = [b[:Br] for b in batches]
         rlen = lengths_d[:Br]
         mark("resolve path compiling")
         np.asarray(res_fn(index, rb[0], rlen)[0])
         mark("resolve path timing")
         t2 = time.perf_counter()
-        outs = [res_fn(index, rb[i], rlen) for i in range(8)]
+        NR = 8
+        outs = [res_fn(index, rb[i % len(rb)], rlen) for i in range(NR)]
         total = np.asarray(jnp.stack([o[0] for o in outs]).sum())
-        extras["resolve_queries_per_s"] = round(Br * 8 / (time.perf_counter() - t2))
+        extras["resolve_queries_per_s"] = round(Br * NR / (time.perf_counter() - t2))
         extras["resolve_fast_path"] = bool(index.lf is not None)
 
     result = {
@@ -184,6 +221,7 @@ def main() -> int:
         "kmer_len": k,
         "n_symbols": packed.n,
         "prefix_lut_order": p,
+        "parity_checked": parity_checked,
         "device": dev_kind,
         **extras,
     }

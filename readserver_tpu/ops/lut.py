@@ -28,7 +28,11 @@ from readserver_tpu.ops.types import DeviceIndex
 
 @partial(jax.jit, static_argnames=("level_size",))
 def _extend_level(index: DeviceIndex, l, u, level_size: int):
-    """[S] intervals of level ℓ → [4S] intervals of level ℓ+1 (c-major)."""
+    """[S] intervals of level ℓ → [4S] intervals of level ℓ+1 (c-major).
+
+    Already-empty intervals are frozen rather than re-extended so LUT
+    entries are bit-identical to what the step-by-step search (whose
+    ``active`` mask stops updating on emptiness) would produce."""
     cc = jnp.repeat(jnp.arange(1, 5, dtype=jnp.int32), level_size)  # [4S]
     l4 = jnp.tile(l, 4)
     u4 = jnp.tile(u, 4)
@@ -36,7 +40,10 @@ def _extend_level(index: DeviceIndex, l, u, level_size: int):
         index, jnp.concatenate([cc, cc]), jnp.concatenate([l4, u4])
     )
     base = jnp.take(index.C, cc)
-    return base + occ2[: 4 * level_size], base + occ2[4 * level_size :]
+    alive = l4 < u4
+    nl = jnp.where(alive, base + occ2[: 4 * level_size], l4)
+    nu = jnp.where(alive, base + occ2[4 * level_size :], u4)
+    return nl, nu
 
 
 def build_prefix_lut(index: DeviceIndex, p: int) -> jax.Array:

@@ -33,6 +33,20 @@ def naive_count(reads: Sequence[np.ndarray | str | bytes], kmer) -> int:
     return sum(len(_occurrences_in(_as_codes(r), pat)) for r in reads)
 
 
+def naive_count_matrix(reads_matrix: np.ndarray, kmer) -> int:
+    """Vectorized overlapping-occurrence count over an equal-length read
+    matrix [m, L] — the bench-scale parity spot-check (millions of reads)."""
+    pat = _as_codes(kmer)
+    k = len(pat)
+    m, L = reads_matrix.shape
+    if k > L:
+        return 0
+    total = 0
+    for off in range(L - k + 1):
+        total += int((reads_matrix[:, off : off + k] == pat).all(axis=1).sum())
+    return total
+
+
 def naive_find_reads(
     reads: Sequence[np.ndarray | str | bytes], kmer
 ) -> list[tuple[int, int]]:

@@ -523,12 +523,17 @@ def build_prefix_lut_sharded(sidx: ShardedIndex, mesh, p: int) -> jax.Array:
         loc = _ShardLocal(sidx)
         size = l.shape[0]
         cc = jnp.repeat(jnp.arange(1, 5, dtype=jnp.int32), size)
+        l4 = jnp.tile(l, 4)
+        u4 = jnp.tile(u, 4)
         occ2 = loc.occ_global(
-            jnp.concatenate([cc, cc]),
-            jnp.concatenate([jnp.tile(l, 4), jnp.tile(u, 4)]),
+            jnp.concatenate([cc, cc]), jnp.concatenate([l4, u4])
         )
         base = jnp.take(loc.C, cc)
-        return base + occ2[: 4 * size], base + occ2[4 * size :]
+        # freeze empty intervals — bit-exact with the stepwise search
+        alive = l4 < u4
+        nl = jnp.where(alive, base + occ2[: 4 * size], l4)
+        nu = jnp.where(alive, base + occ2[4 * size :], u4)
+        return nl, nu
 
     level_fn = jax.jit(
         jax.shard_map(

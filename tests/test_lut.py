@@ -71,6 +71,26 @@ def test_lut_search_matches_oracle(setup):
         assert (int(l[b]), int(u[b])) == fm.backward_search(km), b
 
 
+def test_lut_deep_order_empty_intervals(setup):
+    """Regression: at deeper p many p-mers are absent; their LUT entries
+    must carry the same frozen-at-death bounds the stepwise search yields
+    (caught by the bench parity self-check at p=7 on lambda-scale)."""
+    corpus, _, dev = setup
+    k = corpus.spec.kmer_len
+    for p in [7, 8]:
+        if p > k:
+            continue
+        lut = build_prefix_lut(dev, p)
+        rng = np.random.default_rng(p)
+        kmers = [rng.integers(1, 5, size=k).astype(np.uint8) for _ in range(64)]
+        codes, lengths = encode_query_batch(kmers, k)
+        l1, u1 = jax.jit(backward_search)(dev, codes, lengths)
+        f = jax.jit(lambda d, c, ln, lut=lut, p=p: backward_search_lut(d, lut, p, c, ln))
+        l2, u2 = f(dev, codes, lengths)
+        assert np.array_equal(np.asarray(l1), np.asarray(l2)), p
+        assert np.array_equal(np.asarray(u1), np.asarray(u2)), p
+
+
 def test_lut_with_exact_p_length_queries(setup):
     corpus, fm, dev = setup
     p = 6
