@@ -71,6 +71,10 @@ class ServeConfig:
     batch_size: int = 4096         # device batch width (queries)
     max_hits: int = 64             # rows resolved per query interval
     prefix_lut_order: int | None = None  # p-mer LUT order; None = auto
+    # resolve-row compaction: walk only ~this fraction of B*max_hits rows
+    # (valid rows are compacted under the budget; overflow rows drop and
+    # their queries report hits_truncated). None disables.
+    resolve_budget_frac: float | None = 0.6
     batch_deadline_ms: float = 2.0 # max wait to fill a batch
     host: str = "127.0.0.1"
     port: int = 8080

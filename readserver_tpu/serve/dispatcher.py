@@ -10,8 +10,12 @@ responsive); no locks needed — the queue is only touched on the loop.
 from __future__ import annotations
 
 import asyncio
+import json
+import logging
 import time
 from concurrent.futures import ThreadPoolExecutor
+
+log = logging.getLogger("readserver_tpu.dispatcher")
 
 from readserver_tpu.serve.engine import QueryEngine, QueryResult
 from readserver_tpu.serve.metrics import Metrics
@@ -96,6 +100,14 @@ class Dispatcher:
             return
         dt = time.perf_counter() - t0
         self.metrics.record_batch(len(batch), dt)
+        if log.isEnabledFor(logging.INFO):
+            # structured JSON per batch (SURVEY.md §5 observability)
+            log.info(json.dumps({
+                "event": "batch",
+                "queries": len(batch),
+                "counts_only": counts_only,
+                "latency_ms": round(dt * 1e3, 3),
+            }))
         for (_, _, fut), res in zip(batch, results):
             if not fut.done():
                 fut.set_result(res)

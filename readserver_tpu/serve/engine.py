@@ -107,9 +107,14 @@ class QueryEngine:
                     )
                 return backward_search(idx, codes, lengths)
 
+            frac = self.cfg.resolve_budget_frac
+            budget = int(frac * self.B * self.H) if frac else None
+
             def _full(idx, lut, codes, lengths, use_lut):
                 l, u = _search(idx, lut, codes, lengths, use_lut)
-                rid, off, valid = resolve_intervals(idx, l, u, self.H)
+                rid, off, valid = resolve_intervals(
+                    idx, l, u, self.H, row_budget=budget
+                )
                 hist = sample_histogram(idx, rid, valid)
                 return dict(
                     l=l, u=u, count=u - l, read_id=rid, offset=off,
@@ -207,7 +212,8 @@ class QueryEngine:
                     interval=(int(out["l"][i]), int(out["u"][i])),
                     hits=hits,
                     sample_hist=sample_hist,
-                    hits_truncated=count > self.H,
+                    # truncated by the per-query cap OR the global row budget
+                    hits_truncated=count > len(hits),
                 )
             )
         return results

@@ -83,6 +83,40 @@ def test_fast_matches_oracle(setup):
         assert got == want, f"query {b}"
 
 
+def test_row_budget_compaction(setup):
+    """Compacted resolve returns identical hits when the budget covers all
+    valid rows, and drops (only) overflow rows when it doesn't."""
+    corpus, fm, dev = setup
+    k = corpus.spec.kmer_len
+    kmers = sample_query_kmers(corpus, 32, k, seed=53, miss_frac=0.2)
+    codes, lengths = encode_query_batch(kmers, k)
+    H = 32
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("budget",))
+    def run(dev, codes, lengths, budget):
+        l, u = backward_search(dev, codes, lengths)
+        full = resolve_intervals(dev, l, u, H)
+        comp = resolve_intervals(dev, l, u, H, row_budget=budget)
+        return full, comp
+
+    (fr, fo, fv), (cr, co, cv) = run(dev, codes, lengths, 32 * H)  # ample
+    assert np.array_equal(np.asarray(fv), np.asarray(cv))
+    assert np.array_equal(np.asarray(fr), np.asarray(cr))
+    assert np.array_equal(np.asarray(fo), np.asarray(co))
+
+    # tight budget: every surviving hit must still be correct
+    (_, _, _), (cr, co, cv) = run(dev, codes, lengths, 64)
+    cr, co, cv = map(np.asarray, (cr, co, cv))
+    assert cv.sum() <= 64
+    for b, km in enumerate(kmers):
+        want = dict(fm.find_reads(km))
+        for r, o, v in zip(cr[b], co[b], cv[b]):
+            if v:
+                assert want.get(int(r)) is not None
+
+
 def test_short_reads_no_samples():
     # every read shorter than the sample rate: $-terminal path only
     reads = ["ACGTACGT", "TTGGCCAA", "ACGTACGT"]
