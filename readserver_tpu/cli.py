@@ -42,6 +42,10 @@ def cmd_build(args) -> int:
         sample_names = [
             f"sample_{i:03d}" for i in range(int(np.max(sample_ids)) + 1)
         ]
+    if args.rlo:
+        from readserver_tpu.corpus import rlo_sort
+
+        reads, sample_ids = rlo_sort(reads, sample_ids)
     print(f"# {len(reads)} reads", file=sys.stderr)
     packed = build_index(reads, sample_ids=sample_ids, sample_names=sample_names)
     artifact.save_artifact(packed, args.out)
@@ -125,6 +129,8 @@ def main(argv=None) -> int:
     b.add_argument("--fastq", help="build from a FASTQ file instead")
     b.add_argument("--fasta", help="build from a FASTA file instead")
     b.add_argument("--min-len", type=int, default=20)
+    b.add_argument("--rlo", action="store_true",
+                   help="reverse-lexicographic read sort before indexing")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=cmd_build)
 

@@ -15,6 +15,7 @@ from readserver_tpu.corpus.simulate import (
 )
 from readserver_tpu.corpus.io import (
     normalize_read,
+    rlo_sort,
     read_fasta,
     read_fastq,
     write_fasta,
@@ -30,4 +31,5 @@ __all__ = [
     "read_fastq",
     "write_fasta",
     "normalize_read",
+    "rlo_sort",
 ]

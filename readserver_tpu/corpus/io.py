@@ -61,6 +61,35 @@ def write_fasta(path: str | Path, records: Iterable[tuple[str, str]]) -> None:
             fh.write(f">{name}\n{seq}\n")
 
 
+def rlo_sort(
+    reads: list[np.ndarray], sample_ids: np.ndarray | None = None
+) -> tuple[list[np.ndarray], np.ndarray | None]:
+    """Reverse-lexicographic-order sort of a read set (+ matching
+    sample-id permutation).
+
+    RLO ordering maximizes run lengths in the multi-string BWT — the
+    central compression lever of the reference pipeline (ropebwt2 ``-R``;
+    SURVEY.md §2.1 "Read preprocessing").  The device index is bit-packed
+    rather than run-length encoded, so this mainly shrinks the RLE
+    interchange artifact (index/rle.py) and improves rank-block cache
+    locality; it changes read ids, hence the returned permutation is
+    applied to sample_ids here rather than left to the caller.
+    """
+    m = len(reads)
+    if m == 0:
+        return reads, sample_ids
+    maxlen = max(len(r) for r in reads)
+    # pad with 0 ($ sorts first — shorter reversed reads order first, the
+    # same tie-break the sentinel ordering gives)
+    mat = np.zeros((m, maxlen), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = r[::-1]
+    order = np.lexsort(mat.T[::-1])
+    out = [reads[i] for i in order]
+    sid = sample_ids[order] if sample_ids is not None else None
+    return out, sid
+
+
 def normalize_read(seq: str, min_len: int = 20) -> list[np.ndarray]:
     """Split a raw read at non-ACGT bases; return code arrays ≥ ``min_len``."""
     out: list[np.ndarray] = []
