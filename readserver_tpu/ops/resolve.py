@@ -40,12 +40,14 @@ def resolve_rows(
             return rank_ops.read_symbol(index, i)
 
     C = index.C
-    R = rows.shape[0]
+    # constant-init carries derive from `rows` (0*rows) so they inherit its
+    # varying-axes type under any shard_map context (dp/shard agnostic)
+    zero = rows * 0
     state = (
         jnp.where(valid, rows, 0),
         ~valid,                                  # done
-        jnp.full(R, -1, dtype=jnp.int32),        # read_id
-        jnp.full(R, -1, dtype=jnp.int32),        # offset
+        zero - 1,                                # read_id
+        zero - 1,                                # offset
     )
 
     def body(t, state):
@@ -102,7 +104,10 @@ def resolve_rows_fast(
     """
     assert index.lf is not None and index.sample_rate > 0
     R = rows.shape[0]
-    m = index.num_reads
+    # dynamic read count (C[1] == num_$ == num_reads): valid per-shard
+    # under document sharding where each shard's m differs; clip bounds
+    # below use the static (padded) array lengths, which is always safe
+    m = index.C[1]
     n_marked = index.sample_pairs.shape[0]
 
     def lookup_terminal(cur, steps):
@@ -111,7 +116,10 @@ def resolve_rows_fast(
         is_marked = raw < 0
         val = raw & jnp.int32(0x7FFFFFFF)
         # $ path: val = dollar rank
-        rid_d = jnp.take(index.dollar_map, jnp.clip(val, 0, max(m - 1, 0)))
+        rid_d = jnp.take(
+            index.dollar_map,
+            jnp.clip(val, 0, max(index.dollar_map.shape[0] - 1, 0)),
+        )
         # sampled path: mark-rank → (read_id, offset)
         slot = rank_ops.occ_rows(
             index.mark_rank,
@@ -134,6 +142,7 @@ def resolve_rows_fast(
         cur, done, steps = state
         raw = jnp.take(index.lf, cur, axis=0)
         is_term = (raw < 0) | ((raw & jnp.int32(0x7FFFFFFF)) < m)
+
         step_now = ~done & ~is_term
         nxt = raw & jnp.int32(0x7FFFFFFF)
         cur = jnp.where(step_now, nxt, cur)
@@ -144,7 +153,7 @@ def resolve_rows_fast(
     state = (
         jnp.where(valid, rows, 0),
         ~valid,
-        jnp.zeros(R, dtype=jnp.int32),
+        rows * 0,  # steps; 0*rows inherits rows' varying-axes type
     )
     cur, done, steps = jax.lax.fori_loop(0, index.sample_rate, body, state)
     rid, off = lookup_terminal(cur, steps)

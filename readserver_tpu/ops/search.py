@@ -96,6 +96,9 @@ def backward_search(
             return rank_ops.occ(index, c, i)
 
     # free first step: last char's interval comes straight from C
+    # (C[5] == n and C[c+1]-C[c] == count(c), so no static n is needed —
+    # this keeps the function valid per-shard under document sharding,
+    # where each shard's n differs)
     c_last = kmers[:, K - 1]
     l = jnp.take(index.C, c_last)
     u = jnp.take(index.C, c_last + 1)

@@ -10,6 +10,12 @@ topology of the reference becomes one SPMD program.
 """
 
 from readserver_tpu.parallel.mesh import make_mesh
+from readserver_tpu.parallel.doc_sharded import (
+    DocShardedIndex,
+    build_doc_sharded,
+    make_doc_query_fn,
+    place_doc_sharded,
+)
 from readserver_tpu.parallel.sharded import (
     ShardedIndex,
     build_prefix_lut_sharded,
@@ -25,4 +31,8 @@ __all__ = [
     "place_sharded",
     "make_sharded_query_fn",
     "build_prefix_lut_sharded",
+    "DocShardedIndex",
+    "build_doc_sharded",
+    "place_doc_sharded",
+    "make_doc_query_fn",
 ]
