@@ -58,10 +58,25 @@ def cmd_build(args) -> int:
 
 
 def _load_engine(index_path: str, batch_size: int, num_shards: int):
+    """Load one artifact (single/interval-sharded) or a comma-separated
+    list of artifacts (document-sharded, one per shard)."""
+    import jax
+
     from readserver_tpu.config import ServeConfig
     from readserver_tpu.index import artifact
     from readserver_tpu.serve import QueryEngine
 
+    paths = index_path.split(",")
+    if len(paths) > 1:
+        from readserver_tpu.parallel import make_mesh
+
+        parts = [artifact.load_artifact(p, mmap=False) for p in paths]
+        mesh = make_mesh(
+            data_parallel=1,
+            num_shards=len(parts),
+            devices=jax.devices()[: len(parts)],
+        )
+        return QueryEngine(parts, ServeConfig(batch_size=batch_size), mesh=mesh)
     packed = artifact.load_artifact(index_path, mmap=False)
     cfg = ServeConfig(batch_size=batch_size, num_shards=num_shards)
     mesh = None

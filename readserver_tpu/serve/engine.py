@@ -7,6 +7,8 @@ device_put (single chip or sharded mesh) → warm up the jitted steps.
 
 from __future__ import annotations
 
+import bisect
+import dataclasses
 from dataclasses import dataclass, field
 
 import jax
@@ -35,21 +37,84 @@ class QueryResult:
 
 
 class QueryEngine:
-    """Batched query API over a built index (single device or sharded)."""
+    """Batched query API over a built index.
+
+    Three deployment shapes (SURVEY.md §1 L5, §2.3):
+    * single device — ``QueryEngine(packed)``
+    * interval-sharded — ``QueryEngine(packed, cfg(num_shards=S), mesh)``
+    * document-sharded — ``QueryEngine([packed_1..packed_S], cfg, mesh)``
+      (a list of per-partition indexes; the reference's split-by-sample
+      deployment — counts sum, hit sets union, ids map by offsets)
+    """
 
     def __init__(
         self,
-        packed: PackedIndex,
+        packed: PackedIndex | list[PackedIndex],
         serve_config: ServeConfig | None = None,
         mesh=None,
     ):
-        self.packed = packed
         self.cfg = serve_config or ServeConfig()
+        self._doc = isinstance(packed, (list, tuple))
+        if self._doc:
+            self.partitions = list(packed)
+            packed = self.partitions[0]
+            self._read_base = []
+            base = 0
+            for p_ in self.partitions:
+                self._read_base.append(base)
+                base += p_.num_reads
+        self.packed = packed
         self.K = packed.config.max_query_len
         self.B = self.cfg.batch_size
         self.H = self.cfg.max_hits
-        self.sample_names = packed.sample_names or ["sample_0"]
-        self._sharded = mesh is not None and self.cfg.num_shards > 1
+        if self._doc:
+            ns = max(p_.num_samples for p_ in self.partitions)
+            self.sample_names = [f"sample_{i}" for i in range(ns)]
+            names = {}
+            for p_ in self.partitions:
+                for i, nm in enumerate(p_.sample_names):
+                    names[i] = nm
+            for i, nm in names.items():
+                if i < ns:
+                    self.sample_names[i] = nm
+        else:
+            self.sample_names = packed.sample_names or ["sample_0"]
+        self._sharded = (
+            not self._doc and mesh is not None and self.cfg.num_shards > 1
+        )
+        if self._doc:
+            if mesh is None:
+                raise ValueError("document sharding requires a mesh")
+            from readserver_tpu.ops import default_lut_order
+            from readserver_tpu.parallel import (
+                build_doc_sharded,
+                make_doc_query_fn,
+                place_doc_sharded,
+            )
+
+            self.mesh = mesh
+            self.lut_p = (
+                self.cfg.prefix_lut_order
+                if self.cfg.prefix_lut_order is not None
+                else default_lut_order(max(p_.n for p_ in self.partitions))
+            )
+            self.lut = None
+            self.didx = place_doc_sharded(
+                build_doc_sharded(self.partitions, lut_p=self.lut_p), mesh
+            )
+            frac = self.cfg.resolve_budget_frac
+            budget = int(frac * self.B * self.H) if frac else None
+            self._doc_fn = make_doc_query_fn(
+                self.didx, mesh, max_hits=self.H, row_budget=budget
+            )
+            # plain variant (same arrays, LUT disabled) for short queries
+            self.didx_plain = dataclasses.replace(
+                self.didx, lut=None, lut_p=0
+            )
+            self._doc_fn_plain = make_doc_query_fn(
+                self.didx_plain, mesh, max_hits=self.H, row_budget=budget
+            )
+            return
         if self._sharded:
             from readserver_tpu.ops import default_lut_order
             from readserver_tpu.parallel import (
@@ -141,6 +206,26 @@ class QueryEngine:
 
     def _run(self, kmers: list[str], counts_only: bool) -> dict[str, np.ndarray]:
         codes, lengths, nq = self._pad_encode(kmers)
+        if self._doc:
+            use_lut = bool(
+                self.lut_p and nq and int(lengths[:nq].min()) >= self.lut_p
+            )
+            if use_lut:
+                out = self._doc_fn(self.didx, codes, lengths)
+            else:
+                out = self._doc_fn_plain(self.didx_plain, codes, lengths)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            S = len(self.partitions)
+            # merge stacked per-shard hit tensors: [S, B, H] → [B, S*H]
+            merged = {
+                "count": out["count"][:nq],
+                "sample_hist": out["sample_hist"][:nq],
+            }
+            for key in ["read_id", "offset", "valid"]:
+                merged[key] = (
+                    out[key].transpose(1, 0, 2).reshape(-1, S * self.H)[:nq]
+                )
+            return merged
         if self._sharded:
             use_lut = bool(
                 self.lut is not None
@@ -163,11 +248,21 @@ class QueryEngine:
 
     def warmup(self) -> None:
         """Compile all path variants and pay the first-transfer handshake."""
-        self._run(["A"], counts_only=True)       # plain path
+        self._run(["A"], counts_only=True)                # plain path
         self._run(["A"], counts_only=False)
-        if self.lut is not None:
-            self._run(["A" * self.K], counts_only=True)   # LUT path
-            self._run(["A" * self.K], counts_only=False)
+        self._run(["A" * self.K], counts_only=True)       # LUT path (if any)
+        self._run(["A" * self.K], counts_only=False)
+
+    def _locate(self, rid: int) -> tuple[int, int]:
+        """Global read id → (partition, local id)."""
+        s = bisect.bisect_right(self._read_base, rid) - 1
+        return s, rid - self._read_base[s]
+
+    def _sample_of(self, rid: int) -> int:
+        if self._doc:
+            s, local = self._locate(rid)
+            return int(self.partitions[s].read_to_sample[local])
+        return int(self.packed.read_to_sample[rid])
 
     def count_batch(self, kmers: list[str]) -> list[QueryResult]:
         out = self._run(kmers, counts_only=True)
@@ -175,7 +270,11 @@ class QueryEngine:
             QueryResult(
                 kmer=km,
                 count=int(out["count"][i]),
-                interval=(int(out["l"][i]), int(out["u"][i])),
+                interval=(
+                    (int(out["l"][i]), int(out["u"][i]))
+                    if "l" in out
+                    else None
+                ),
             )
             for i, km in enumerate(kmers)
         ]
@@ -195,7 +294,7 @@ class QueryEngine:
                     hits.append(
                         dict(
                             read_id=rid,
-                            sample_id=int(self.packed.read_to_sample[rid]),
+                            sample_id=self._sample_of(rid),
                             offset=int(o),
                         )
                     )
@@ -209,7 +308,11 @@ class QueryEngine:
                 QueryResult(
                     kmer=km,
                     count=count,
-                    interval=(int(out["l"][i]), int(out["u"][i])),
+                    interval=(
+                        (int(out["l"][i]), int(out["u"][i]))
+                        if "l" in out
+                        else None
+                    ),
                     hits=hits,
                     sample_hist=sample_hist,
                     # truncated by the per-query cap OR the global row budget
@@ -220,4 +323,7 @@ class QueryEngine:
 
     def read_sequence(self, read_id: int) -> str:
         """Read text from the host-side cold store (RocksDB replacement)."""
+        if self._doc:
+            s, local = self._locate(read_id)
+            return alphabet.decode(self.partitions[s].extract_read(local))
         return alphabet.decode(self.packed.extract_read(read_id))

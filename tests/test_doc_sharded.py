@@ -88,6 +88,40 @@ def test_doc_sharded_counts_and_hits(setup, lut_p):
         assert np.array_equal(out["sample_hist"][b], want_hist), f"hist q{b}"
 
 
+def test_doc_engine_end_to_end(setup):
+    """QueryEngine over partition list: counts, hits, attribution, and
+    read retrieval against the monolithic oracle."""
+    import jax
+
+    from readserver_tpu import alphabet
+    from readserver_tpu.config import ServeConfig
+    from readserver_tpu.serve import QueryEngine
+
+    corpus, partitions, fm, sample_of = setup
+    mesh = make_mesh(data_parallel=1, num_shards=SHARDS,
+                     devices=jax.devices()[:SHARDS])
+    eng = QueryEngine(
+        partitions, ServeConfig(batch_size=16, max_hits=MAX_HITS), mesh=mesh
+    )
+    eng.warmup()
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(corpus, 10, corpus.spec.kmer_len, seed=83)
+    ]
+    for r in eng.query_batch(kmers):
+        want = fm.find_reads(r.kmer)
+        assert r.count == len(want)
+        if r.hits_truncated:
+            continue
+        got = sorted((h["read_id"], h["offset"]) for h in r.hits)
+        assert got == want, r.kmer
+        for h in r.hits:
+            assert h["sample_id"] == sample_of[h["read_id"]]
+            seq = eng.read_sequence(h["read_id"])
+            assert r.kmer in seq
+            assert seq == alphabet.decode(corpus.reads[h["read_id"]])
+
+
 def test_doc_sharded_per_shard_counts_sum(setup):
     corpus, partitions, fm, _ = setup
     import jax
