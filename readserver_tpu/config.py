@@ -68,7 +68,10 @@ class IndexConfig:
 class ServeConfig:
     """Serve-time knobs for the dispatcher (SURVEY.md §7.7)."""
 
-    batch_size: int = 4096         # device batch width (queries)
+    batch_size: int = 4096         # max device batch width (queries)
+    # smaller widths compiled alongside batch_size; light batches pad to
+    # the smallest width that fits, keeping p50 low under light load
+    small_batch_sizes: tuple = (256,)
     max_hits: int = 64             # rows resolved per query interval
     prefix_lut_order: int | None = None  # p-mer LUT order; None = auto
     # resolve-row compaction: walk only ~this fraction of B*max_hits rows

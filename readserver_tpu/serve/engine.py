@@ -199,8 +199,16 @@ class QueryEngine:
         nq = len(kmers)
         if nq > self.B:
             raise ValueError(f"batch of {nq} exceeds configured {self.B}")
+        # tiered widths: pad to the smallest compiled width that fits so a
+        # lone query doesn't pay the full-batch program (p50 under light
+        # load); jit specializes per width on first use
+        width = self.B
+        for w in sorted(self.cfg.small_batch_sizes):
+            if nq <= w <= self.B:
+                width = w
+                break
         # pad with full-length dummies so padding never disables the LUT path
-        padded = list(kmers) + ["A" * self.K] * (self.B - nq)
+        padded = list(kmers) + ["A" * self.K] * (width - nq)
         codes, lengths = encode_query_batch(padded, self.K)
         return codes, lengths, nq
 
