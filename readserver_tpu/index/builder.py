@@ -155,7 +155,12 @@ def build_index(
     lf = mark_rank = sample_pairs = None
     srate = 0
     if fast_resolve:
-        lf = packing.compute_lf(bwt, C)
+        try:
+            from readserver_tpu.native import compute_lf_native
+
+            lf = compute_lf_native(bwt, C)
+        except Exception:
+            lf = packing.compute_lf(bwt, C)
         # per-read text-position sampling: mark rows whose suffix offset is
         # a positive multiple of sample_rate (offset-0 rows are $-terminal
         # already); the walk then ends within < sample_rate steps

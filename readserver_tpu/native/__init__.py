@@ -8,8 +8,9 @@ because it runs on-chip (XLA/Pallas).
 
 from readserver_tpu.native.build import (
     bwt_from_sa,
+    compute_lf_native,
     native_available,
     sais_int32,
 )
 
-__all__ = ["sais_int32", "bwt_from_sa", "native_available"]
+__all__ = ["sais_int32", "bwt_from_sa", "compute_lf_native", "native_available"]

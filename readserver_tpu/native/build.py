@@ -75,6 +75,13 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+            lib.compute_lf.restype = ctypes.c_int
+            lib.compute_lf.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
             _lib = lib
             return lib
         except Exception as e:  # missing toolchain etc. — NumPy fallback
@@ -102,6 +109,18 @@ def sais_int32(text: np.ndarray, alphabet_size: int) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais_int32 failed with code {rc}")
     return sa
+
+
+def compute_lf_native(bwt: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """LF array (int32 [n]) in one native pass."""
+    lib = _get_lib()
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    C5 = np.ascontiguousarray(np.asarray(C[:5]), dtype=np.int64)
+    lf = np.empty(len(bwt), dtype=np.int32)
+    rc = lib.compute_lf(bwt.ctypes.data, C5.ctypes.data, lf.ctypes.data, len(bwt))
+    if rc != 0:
+        raise RuntimeError("LF overflows int32; shard the index")
+    return lf
 
 
 def bwt_from_sa(
