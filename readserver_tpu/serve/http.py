@@ -90,6 +90,27 @@ class RestServer:
                 return _resp("503 Service Unavailable", {"status": str(e)})
         if path == "/stats":
             return _resp("200 OK", self.dispatcher.metrics.snapshot())
+        if path == "/info":
+            eng = self.dispatcher.engine
+            packed = eng.packed
+            return _resp(
+                "200 OK",
+                {
+                    "n_symbols": int(packed.n),
+                    "num_reads": int(packed.num_reads)
+                    if not eng._doc
+                    else sum(p.num_reads for p in eng.partitions),
+                    "num_samples": len(eng.sample_names),
+                    "max_query_len": eng.K,
+                    "max_hits": eng.H,
+                    "batch_size": eng.B,
+                    "sharding": (
+                        "document"
+                        if eng._doc
+                        else ("interval" if eng._sharded else "single")
+                    ),
+                },
+            )
         if path in ("/count", "/reads", "/samples"):
             kmer = q.get("kmer", "")
             if not kmer:
@@ -109,7 +130,9 @@ class RestServer:
                             "hits_truncated": r.hits_truncated,
                         },
                     )
-                hits = r.hits
+                hits = [
+                    {**h, "name": f"read_{h['read_id']}"} for h in r.hits
+                ]
                 if q.get("sequences") == "1":
                     hits = [
                         {**h,
