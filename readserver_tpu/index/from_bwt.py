@@ -1,0 +1,242 @@
+"""Build a ``PackedIndex`` directly from a multi-string BWT — no suffix sort.
+
+Two producers need this path:
+
+* **interleave merge** (``index/merge.py``): the merged BWT comes out of
+  ``csrc/merge.cpp`` without re-sorting (the reference's ``bwt-merge``
+  stage, SURVEY.md §2.1 "BWT merge" / §3.4), so the device index must be
+  packable from the BWT plus carried-over read metadata;
+* **BWT import** (``cli.py import-bwt``): an RLE-BWT built by
+  reference-stack tools arrives with no corpus attached — read lengths,
+  the ``$``-map, and the 2-bit cold store are all reconstructed here by
+  BWT inversion.
+
+Invariant used throughout (holds for any multi-string BWT under the
+distinct-``$``, ``$``-ordered-by-read-index convention the whole package
+uses — see ``index/builder.py``): **row ``j < m`` is the sentinel-only
+suffix of read ``j``**, so LF-walking from row ``j`` enumerates read
+``j``'s suffix rows right-to-left (offset ``L-1`` down to ``0``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from readserver_tpu import alphabet
+from readserver_tpu.config import IndexConfig
+from readserver_tpu.index import packing
+from readserver_tpu.index.builder import PackedIndex
+
+
+def plain_lf(bwt: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """LF array without fast-resolve mark bits (native pass if available)."""
+    try:
+        from readserver_tpu.native import compute_lf_native
+
+        return compute_lf_native(bwt, C)
+    except Exception:
+        return packing.compute_lf(bwt, C)
+
+
+def invert_bwt(
+    bwt: np.ndarray, lf: np.ndarray | None = None
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Multi-string BWT → ``(reads, dollar_map, read_lengths)``.
+
+    Classic FM inversion, vectorized across all ``m`` reads at once: one
+    lockstep LF step per character position (the host-side mirror of the
+    device resolve walk, SURVEY.md §3.3).  Read ``r``'s walk starts at its
+    sentinel row ``r`` and ends at its offset-0 row, whose ``$``-rank
+    keys ``dollar_map``.
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    n = len(bwt)
+    if n and bwt.max() >= alphabet.NUM_SYMBOLS:
+        raise ValueError("BWT symbol codes must be in [0, 5)")
+    counts = np.bincount(bwt, minlength=alphabet.NUM_SYMBOLS).astype(np.int64)
+    m = int(counts[0])
+    if m == 0:
+        raise ValueError("BWT has no sentinel symbols")
+    C = np.zeros(alphabet.NUM_SYMBOLS + 1, dtype=np.int64)
+    np.cumsum(counts, out=C[1:])
+    if lf is None:
+        lf = plain_lf(bwt, C)
+
+    pos = np.arange(m, dtype=np.int64)
+    alive = np.ones(m, dtype=bool)
+    dollar_map = np.zeros(m, dtype=np.uint32)
+    read_lengths = np.zeros(m, dtype=np.int32)
+    cols: list[np.ndarray] = []
+    steps = 0
+    while True:
+        c = bwt[pos]
+        term = (c == alphabet.SENTINEL) & alive
+        if term.any():
+            # terminal row's lf value == its $-rank (lf = C[$]=0 + occ)
+            dollar_map[lf[pos[term]]] = np.flatnonzero(term).astype(np.uint32)
+            read_lengths[term] = steps
+            alive &= ~term
+        if not alive.any():
+            break
+        cols.append(np.where(alive, c, 0).astype(np.uint8))
+        pos = np.where(alive, lf[pos], pos)
+        steps += 1
+        if steps > n:
+            raise ValueError("LF walk did not terminate; BWT is corrupt")
+    if read_lengths.min() < 1:
+        raise ValueError("BWT encodes an empty read; not importable")
+    mat = np.stack(cols, axis=0) if cols else np.zeros((0, m), dtype=np.uint8)
+    reads = [
+        mat[: int(L), r][::-1].copy() for r, L in enumerate(read_lengths)
+    ]
+    return reads, dollar_map, read_lengths
+
+
+def _fast_resolve_from_lf(
+    lf: np.ndarray,
+    read_lengths: np.ndarray,
+    config: IndexConfig,
+    sample_rate: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (lf with mark sign bits, mark_rank, sample_pairs).
+
+    Recomputes the sampled-row marks of ``index/builder.py`` without a
+    suffix array: walking LF from sentinel row ``r`` puts read ``r`` at
+    offset ``L_r − t`` after ``t`` steps, so the SA-derived predicate
+    ``offset % rate == 0 ∧ 0 < offset < L`` falls straight out of the walk.
+    """
+    m = len(read_lengths)
+    L = read_lengths.astype(np.int64)
+    pos = np.arange(m, dtype=np.int64)
+    rows_l: list[np.ndarray] = []
+    reads_l: list[np.ndarray] = []
+    offs_l: list[np.ndarray] = []
+    max_len = int(L.max()) if m else 0
+    for t in range(1, max_len):
+        active = t <= L - 1
+        if not active.any():
+            break
+        pos = np.where(active, lf[pos], pos)
+        offset = L - t
+        sel = active & (offset % sample_rate == 0)
+        if sel.any():
+            rows_l.append(pos[sel])
+            reads_l.append(np.flatnonzero(sel))
+            offs_l.append(offset[sel])
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        pairs = np.stack(
+            [
+                np.concatenate(reads_l)[order].astype(np.int32),
+                np.concatenate(offs_l)[order].astype(np.int32),
+            ],
+            axis=1,
+        )
+    else:
+        rows = np.zeros(0, dtype=np.int64)
+        pairs = np.zeros((1, 2), dtype=np.int32)
+    marked = np.zeros(len(lf), dtype=bool)
+    marked[rows] = True
+    mark_rank = packing.pack_bit_rank(marked, config)
+    lf_marked = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
+    return lf_marked, mark_rank, pairs
+
+
+def pack_from_bwt(
+    bwt: np.ndarray,
+    *,
+    dollar_map: np.ndarray,
+    read_to_sample: np.ndarray,
+    read_lengths: np.ndarray,
+    corpus_packed: np.ndarray,
+    read_offsets: np.ndarray,
+    sample_names: list[str] | None = None,
+    config: IndexConfig | None = None,
+    fast_resolve: bool = True,
+    sample_rate: int = 32,
+) -> PackedIndex:
+    """Pack device arrays from a BWT plus explicit read metadata."""
+    config = config or IndexConfig()
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    m = len(read_lengths)
+    rank_blocks, C, counts = packing.pack_rank_blocks(bwt, config)
+    if int(counts[0]) != m:
+        raise ValueError(
+            f"BWT has {int(counts[0])} sentinels but metadata has {m} reads"
+        )
+    sym4 = packing.pack_sym4(bwt)
+    read_to_sample = np.asarray(read_to_sample, dtype=np.int32)
+    num_samples = int(read_to_sample.max()) + 1 if m else 0
+
+    lf = mark_rank = sample_pairs = None
+    srate = 0
+    if fast_resolve:
+        lf0 = plain_lf(bwt, C)
+        lf, mark_rank, sample_pairs = _fast_resolve_from_lf(
+            lf0, np.asarray(read_lengths), config, sample_rate
+        )
+        srate = sample_rate
+
+    return PackedIndex(
+        config=config,
+        n=len(bwt),
+        num_reads=m,
+        num_samples=num_samples,
+        C=C,
+        symbol_counts=counts,
+        rank_blocks=rank_blocks,
+        sym4=sym4,
+        dollar_map=np.asarray(dollar_map, dtype=np.uint32),
+        read_to_sample=read_to_sample,
+        read_lengths=np.asarray(read_lengths, dtype=np.int32),
+        corpus_packed=np.asarray(corpus_packed, dtype=np.uint8),
+        read_offsets=np.asarray(read_offsets, dtype=np.int64),
+        sample_names=list(sample_names)
+        if sample_names is not None
+        else [f"sample_{i}" for i in range(num_samples)],
+        lf=lf,
+        mark_rank=mark_rank,
+        sample_pairs=sample_pairs,
+        sample_rate=srate,
+    )
+
+
+def index_from_bwt(
+    bwt: np.ndarray,
+    sample_ids: np.ndarray | None = None,
+    sample_names: list[str] | None = None,
+    config: IndexConfig | None = None,
+    fast_resolve: bool = True,
+    sample_rate: int = 32,
+) -> PackedIndex:
+    """Import path: a bare multi-string BWT → full index.
+
+    Reads are numbered by sentinel-row order (the only self-consistent
+    numbering a bare BWT carries); the corpus cold store is reconstructed
+    by inversion, so ``extract_read`` and hit attribution work exactly as
+    on a corpus-built index.
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    reads, dollar_map, read_lengths = invert_bwt(bwt)
+    m = len(reads)
+    if sample_ids is None:
+        sample_ids = np.zeros(m, dtype=np.int32)
+    all_bases = (
+        np.concatenate(reads) if reads else np.zeros(0, dtype=np.uint8)
+    )
+    read_offsets = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(read_lengths.astype(np.int64), out=read_offsets[1:])
+    return pack_from_bwt(
+        bwt,
+        dollar_map=dollar_map,
+        read_to_sample=np.asarray(sample_ids, dtype=np.int32),
+        read_lengths=read_lengths,
+        corpus_packed=alphabet.pack_2bit(all_bases),
+        read_offsets=read_offsets,
+        sample_names=sample_names,
+        config=config,
+        fast_resolve=fast_resolve,
+        sample_rate=sample_rate,
+    )

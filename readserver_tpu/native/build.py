@@ -17,7 +17,7 @@ import numpy as np
 _REPO = Path(__file__).resolve().parents[2]
 _CSRC = _REPO / "csrc"
 _BUILD = _REPO / "build"
-_SOURCES = ["sais.cpp"]
+_SOURCES = ["sais.cpp", "merge.cpp"]
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -82,6 +82,18 @@ def _get_lib() -> ctypes.CDLL:
                 ctypes.c_void_p,
                 ctypes.c_int64,
             ]
+            lib.bwt_merge2.restype = ctypes.c_int
+            lib.bwt_merge2.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
             _lib = lib
             return lib
         except Exception as e:  # missing toolchain etc. — NumPy fallback
@@ -121,6 +133,32 @@ def compute_lf_native(bwt: np.ndarray, C: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError("LF overflows int32; shard the index")
     return lf
+
+
+def bwt_merge2_native(
+    b1: np.ndarray, m1: int, b2: np.ndarray, m2: int, max_passes: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Interleave-merge two multi-string BWTs → (merged, interleave, passes)."""
+    lib = _get_lib()
+    b1 = np.ascontiguousarray(b1, dtype=np.uint8)
+    b2 = np.ascontiguousarray(b2, dtype=np.uint8)
+    n = len(b1) + len(b2)
+    merged = np.empty(n, dtype=np.uint8)
+    interleave = np.empty(n, dtype=np.uint8)
+    rc = lib.bwt_merge2(
+        b1.ctypes.data,
+        len(b1),
+        int(m1),
+        b2.ctypes.data,
+        len(b2),
+        int(m2),
+        merged.ctypes.data,
+        interleave.ctypes.data,
+        int(max_passes),
+    )
+    if rc < 0:
+        raise RuntimeError(f"bwt_merge2 failed with code {rc}")
+    return merged, interleave, rc
 
 
 def bwt_from_sa(
