@@ -6,6 +6,8 @@ surface (SURVEY.md §3.4-§3.5) as one entry point.
     python -m readserver_tpu.cli query --index data/idx --kmer ACGTT --hits
     python -m readserver_tpu.cli serve --index data/idx --port 8080
     python -m readserver_tpu.cli simulate --config lambda --out reads.fasta
+    python -m readserver_tpu.cli merge s1_idx s2_idx --interleave --out pop
+    python -m readserver_tpu.cli import-bwt --bwt pop.rlebwt --out data/idx
 """
 
 from __future__ import annotations
@@ -87,12 +89,56 @@ def _load_engine(index_path: str, batch_size: int, num_shards: int):
     return QueryEngine(packed, cfg, mesh=mesh)
 
 
+def cmd_import_bwt(args) -> int:
+    """Import a bare RLE-BWT file (e.g. built by reference-stack tools)
+    into a full artifact; corpus + metadata reconstructed by inversion."""
+    from readserver_tpu.index import artifact
+    from readserver_tpu.index.from_bwt import index_from_bwt
+    from readserver_tpu.index.rle import read_rle_bwt
+
+    t0 = time.time()
+    bwt, num_reads = read_rle_bwt(args.bwt)
+    packed = index_from_bwt(bwt)
+    if packed.num_reads != num_reads:
+        print(
+            f"# warning: header said {num_reads} reads, BWT encodes "
+            f"{packed.num_reads}",
+            file=sys.stderr,
+        )
+    artifact.save_artifact(packed, args.out)
+    print(
+        f"# imported n={packed.n} reads={packed.num_reads} "
+        f"in {time.time()-t0:.1f}s → {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Merge per-sample artifacts into one population artifact
+    (the reference's bwt-merge stage)."""
+    from readserver_tpu.index import artifact
+    from readserver_tpu.index.merge import merge_indexes, merge_indexes_interleave
+
+    t0 = time.time()
+    parts = [artifact.load_artifact(p, mmap=False) for p in args.inputs]
+    fn = merge_indexes_interleave if args.interleave else merge_indexes
+    merged = fn(parts)
+    artifact.save_artifact(merged, args.out)
+    print(
+        f"# merged {len(parts)} indexes: n={merged.n} reads={merged.num_reads} "
+        f"samples={merged.num_samples} in {time.time()-t0:.1f}s → {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_query(args) -> int:
     engine = _load_engine(args.index, max(len(args.kmer), 16), args.shards)
     if args.hits or args.samples:
-        results = engine.query_batch(args.kmer)
+        results = engine.query_batch(args.kmer, both_strands=args.both_strands)
     else:
-        results = engine.count_batch(args.kmer)
+        results = engine.count_batch(args.kmer, both_strands=args.both_strands)
     for r in results:
         out = {"kmer": r.kmer, "count": r.count}
         if args.hits:
@@ -154,8 +200,23 @@ def main(argv=None) -> int:
     q.add_argument("--kmer", nargs="+", required=True)
     q.add_argument("--hits", action="store_true")
     q.add_argument("--samples", action="store_true")
+    q.add_argument("--both-strands", action="store_true",
+                   help="also search the reverse complement")
     q.add_argument("--shards", type=int, default=1)
     q.set_defaults(fn=cmd_query)
+
+    ib = sub.add_parser("import-bwt", help="RLE-BWT file → index artifact")
+    ib.add_argument("--bwt", required=True)
+    ib.add_argument("--out", required=True)
+    ib.set_defaults(fn=cmd_import_bwt)
+
+    mg = sub.add_parser("merge", help="merge per-sample artifacts")
+    mg.add_argument("inputs", nargs="+", help="input artifact paths")
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--interleave", action="store_true",
+                    help="BWT interleave merge (no suffix re-sort) instead "
+                         "of read-level rebuild")
+    mg.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("serve", help="REST server over an index artifact")
     s.add_argument("--index", required=True)

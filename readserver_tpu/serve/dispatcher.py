@@ -17,7 +17,12 @@ from concurrent.futures import ThreadPoolExecutor
 
 log = logging.getLogger("readserver_tpu.dispatcher")
 
-from readserver_tpu.serve.engine import QueryEngine, QueryResult
+from readserver_tpu.serve.engine import (
+    QueryEngine,
+    QueryResult,
+    fold_strand_results,
+    rc_string,
+)
 from readserver_tpu.serve.metrics import Metrics
 
 
@@ -47,8 +52,27 @@ class Dispatcher:
             self._task = None
         self._executor.shutdown(wait=False)
 
-    async def submit(self, kmer: str, counts_only: bool = False) -> QueryResult:
-        """Enqueue one query; resolves when its batch returns."""
+    async def submit(
+        self,
+        kmer: str,
+        counts_only: bool = False,
+        both_strands: bool = False,
+    ) -> QueryResult:
+        """Enqueue one query; resolves when its batch returns.
+
+        Both-strands queries enqueue the forward and reverse-complement
+        k-mers as independent batch entries (they may fly in different
+        batches) and fold the pair on completion.
+        """
+        if both_strands:
+            rc = rc_string(kmer)
+            if rc == kmer:
+                fwd = await self.submit(kmer, counts_only)
+                return fold_strand_results(kmer, fwd, None)
+            fwd, rev = await asyncio.gather(
+                self.submit(kmer, counts_only), self.submit(rc, counts_only)
+            )
+            return fold_strand_results(kmer, fwd, rev)
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._queue.append((kmer, counts_only, fut))
         self._wake.set()

@@ -36,6 +36,48 @@ class QueryResult:
     hits_truncated: bool = False
 
 
+def rc_string(kmer: str) -> str:
+    """Reverse complement of an ACGT query string."""
+    return alphabet.decode(alphabet.revcomp(alphabet.encode(kmer)))
+
+
+def fold_strand_results(
+    kmer: str, fwd: QueryResult, rev: QueryResult | None
+) -> QueryResult:
+    """Combine forward + reverse-complement answers into one both-strands
+    result (``rev is None`` for palindromic queries — one strand is the
+    other, so folding twice would double count).
+
+    Reads are stored single-stranded (as in the reference's read pool), so
+    "present on either strand" = search the k-mer and its reverse
+    complement; hits carry a ``strand`` tag, and a ``-`` hit's ``offset``
+    is where the reverse complement sits on the stored strand.
+    """
+    fwd_hits = [{**h, "strand": "+"} for h in fwd.hits]
+    if rev is None:
+        return QueryResult(
+            kmer=kmer,
+            count=fwd.count,
+            interval=fwd.interval,
+            hits=fwd_hits,
+            sample_hist=fwd.sample_hist,
+            hits_truncated=fwd.hits_truncated,
+        )
+    hist = None
+    if fwd.sample_hist is not None or rev.sample_hist is not None:
+        hist = dict(fwd.sample_hist or {})
+        for k, v in (rev.sample_hist or {}).items():
+            hist[k] = hist.get(k, 0) + v
+    return QueryResult(
+        kmer=kmer,
+        count=fwd.count + rev.count,
+        interval=fwd.interval,
+        hits=fwd_hits + [{**h, "strand": "-"} for h in rev.hits],
+        sample_hist=hist,
+        hits_truncated=fwd.hits_truncated or rev.hits_truncated,
+    )
+
+
 class QueryEngine:
     """Batched query API over a built index.
 
@@ -272,7 +314,33 @@ class QueryEngine:
             return int(self.partitions[s].read_to_sample[local])
         return int(self.packed.read_to_sample[rid])
 
-    def count_batch(self, kmers: list[str]) -> list[QueryResult]:
+    def _expand_rc(self, kmers: list[str]) -> tuple[list[str], dict[int, int]]:
+        """→ (kmers + non-palindromic RCs appended, original→rc index map).
+
+        Both-strands batches therefore hold up to 2× the queries; callers
+        must stay within ``batch_size`` after expansion.
+        """
+        rcs = [rc_string(k) for k in kmers]
+        exp = list(kmers)
+        back: dict[int, int] = {}
+        for i, (km, rc) in enumerate(zip(kmers, rcs)):
+            if rc != km:
+                back[i] = len(exp)
+                exp.append(rc)
+        return exp, back
+
+    def count_batch(
+        self, kmers: list[str], both_strands: bool = False
+    ) -> list[QueryResult]:
+        if both_strands:
+            exp, back = self._expand_rc(kmers)
+            res = self.count_batch(exp)
+            return [
+                fold_strand_results(
+                    km, res[i], res[back[i]] if i in back else None
+                )
+                for i, km in enumerate(kmers)
+            ]
         out = self._run(kmers, counts_only=True)
         return [
             QueryResult(
@@ -287,8 +355,19 @@ class QueryEngine:
             for i, km in enumerate(kmers)
         ]
 
-    def query_batch(self, kmers: list[str]) -> list[QueryResult]:
+    def query_batch(
+        self, kmers: list[str], both_strands: bool = False
+    ) -> list[QueryResult]:
         """Full answers: counts + hit sets + per-sample attribution."""
+        if both_strands:
+            exp, back = self._expand_rc(kmers)
+            res = self.query_batch(exp)
+            return [
+                fold_strand_results(
+                    km, res[i], res[back[i]] if i in back else None
+                )
+                for i, km in enumerate(kmers)
+            ]
         out = self._run(kmers, counts_only=False)
         results = []
         for i, km in enumerate(kmers):

@@ -6,6 +6,8 @@ API surface mirrors the reference server's query endpoints
     GET /count?kmer=ACGT...      → {"kmer": ..., "count": N}
     GET /reads?kmer=...          → hits with read_id/sample/offset[/sequence]
     GET /samples?kmer=...        → per-sample hit counts
+    (&both_strands=1 on any of the above also searches the reverse
+     complement; hits gain a "strand" tag)
     GET /health                  → liveness (canary query through the device)
     GET /stats                   → dispatcher metrics
 
@@ -115,11 +117,16 @@ class RestServer:
             kmer = q.get("kmer", "")
             if not kmer:
                 return _resp("400 Bad Request", {"error": "missing kmer"})
+            both = q.get("both_strands") == "1"
             try:
                 if path == "/count":
-                    r = await self.dispatcher.submit(kmer, counts_only=True)
+                    r = await self.dispatcher.submit(
+                        kmer, counts_only=True, both_strands=both
+                    )
                     return _resp("200 OK", {"kmer": r.kmer, "count": r.count})
-                r = await self.dispatcher.submit(kmer, counts_only=False)
+                r = await self.dispatcher.submit(
+                    kmer, counts_only=False, both_strands=both
+                )
                 if path == "/samples":
                     return _resp(
                         "200 OK",
