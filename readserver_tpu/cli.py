@@ -49,6 +49,19 @@ def cmd_build(args) -> int:
 
         reads, sample_ids = rlo_sort(reads, sample_ids)
     print(f"# {len(reads)} reads", file=sys.stderr)
+    if args.doc_shards > 1:
+        from readserver_tpu.index.cohort import build_cohort
+
+        build_cohort(
+            reads, sample_ids, args.doc_shards, args.out,
+            sample_names=sample_names,
+        )
+        print(
+            f"# built cohort of {args.doc_shards} shards, "
+            f"{len(reads)} reads in {time.time()-t0:.1f}s → {args.out}",
+            file=sys.stderr,
+        )
+        return 0
     packed = build_index(reads, sample_ids=sample_ids, sample_names=sample_names)
     artifact.save_artifact(packed, args.out)
     print(
@@ -68,6 +81,25 @@ def _load_engine(index_path: str, batch_size: int, num_shards: int):
     from readserver_tpu.index import artifact
     from readserver_tpu.serve import QueryEngine
 
+    from readserver_tpu.index.cohort import is_cohort, load_cohort
+
+    if is_cohort(index_path):
+        parts, _ = load_cohort(index_path, mmap=False)
+        if len(jax.devices()) >= len(parts):
+            from readserver_tpu.parallel import make_mesh
+
+            mesh = make_mesh(
+                data_parallel=1,
+                num_shards=len(parts),
+                devices=jax.devices()[: len(parts)],
+            )
+            return QueryEngine(
+                parts, ServeConfig(batch_size=batch_size), mesh=mesh
+            )
+        # fewer devices than shards: time-multiplexed front end
+        from readserver_tpu.serve.engine import MultiEngine
+
+        return MultiEngine(parts, ServeConfig(batch_size=batch_size))
     paths = index_path.split(",")
     if len(paths) > 1:
         from readserver_tpu.parallel import make_mesh
@@ -192,6 +224,9 @@ def main(argv=None) -> int:
     b.add_argument("--min-len", type=int, default=20)
     b.add_argument("--rlo", action="store_true",
                    help="reverse-lexicographic read sort before indexing")
+    b.add_argument("--doc-shards", type=int, default=1,
+                   help="build a document-sharded cohort artifact of N "
+                        "independent sub-indexes (out-of-core path)")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=cmd_build)
 

@@ -1,0 +1,242 @@
+"""Out-of-core cohort build: read partitions → per-shard artifacts → one
+cohort manifest.
+
+Whole-human pools (~90 Gbp, SURVEY.md §7 "HBM budget") can never pass
+through one in-core suffix sort (int32 SA-IS range, and one chip's HBM);
+the reference solved the same problem operationally by building per-sample
+BWTs and deploying them across backend servers (SURVEY.md §1 L5).  Here
+the equivalent is a **cohort artifact**: a directory of independent
+per-partition sub-index artifacts plus a manifest, built one partition at
+a time (bounded peak memory), served document-sharded
+(``parallel/doc_sharded.py``) with answers identical to a monolithic
+build.
+
+Build is stage-wise resumable (SURVEY.md §5 "Checkpoint / resume"): each
+shard's artifact is written manifest-last, and a progress log records how
+many reads each completed shard consumed, so an interrupted build restarts
+at the first missing shard — including from a streaming read source.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from readserver_tpu.config import IndexConfig
+from readserver_tpu.index import artifact
+from readserver_tpu.index.builder import PackedIndex, build_index
+
+COHORT_MANIFEST = "cohort.json"
+PROGRESS_LOG = "progress.jsonl"
+
+
+def is_cohort(path: str | Path) -> bool:
+    return (Path(path) / COHORT_MANIFEST).exists()
+
+
+def partition_spans(
+    read_lengths: Sequence[int], num_shards: int
+) -> list[tuple[int, int]]:
+    """Contiguous read spans with near-equal total bases per shard."""
+    lengths = np.asarray(read_lengths, dtype=np.int64)
+    m = len(lengths)
+    if num_shards < 1 or num_shards > m:
+        raise ValueError(f"num_shards must be in [1, {m}]")
+    cum = np.concatenate([[0], np.cumsum(lengths)])
+    total = int(cum[-1])
+    spans, lo = [], 0
+    for s in range(num_shards):
+        target = total * (s + 1) // num_shards
+        hi = int(np.searchsorted(cum, target, side="left"))
+        hi = max(hi, lo + 1)  # every shard gets at least one read
+        hi = min(hi, m - (num_shards - 1 - s))  # leave reads for the rest
+        spans.append((lo, hi))
+        lo = hi
+    spans[-1] = (spans[-1][0], m)
+    return spans
+
+
+def _write_cohort_manifest(
+    out: Path,
+    shard_dirs: list[str],
+    num_reads: int,
+    num_samples: int,
+    sample_names: list[str],
+    config: IndexConfig,
+) -> None:
+    manifest = {
+        "kind": "cohort",
+        "format_version": config.format_version,
+        "num_shards": len(shard_dirs),
+        "shards": shard_dirs,
+        "num_reads": num_reads,
+        "num_samples": num_samples,
+        "sample_names": sample_names,
+    }
+    tmp = out / (COHORT_MANIFEST + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=2))
+    tmp.rename(out / COHORT_MANIFEST)  # manifest last: presence == complete
+
+
+def build_cohort(
+    reads: Sequence[np.ndarray],
+    sample_ids: np.ndarray | None,
+    num_shards: int,
+    out: str | Path,
+    sample_names: Sequence[str] | None = None,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+    **build_kw,
+) -> Path:
+    """Partition an in-memory corpus and build/save each shard in turn.
+
+    Peak memory is one shard's build, not the cohort's.  Existing complete
+    shard artifacts are skipped when ``resume`` (idempotent restart).
+    """
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    config = config or IndexConfig()
+    m = len(reads)
+    if sample_ids is None:
+        sample_ids = np.zeros(m, dtype=np.int32)
+    sample_ids = np.asarray(sample_ids, dtype=np.int32)
+    num_samples = int(sample_ids.max()) + 1 if m else 0
+    names = (
+        list(sample_names)
+        if sample_names is not None
+        else [f"sample_{i}" for i in range(num_samples)]
+    )
+    spans = partition_spans([len(r) for r in reads], num_shards)
+    shard_dirs = []
+    for s, (lo, hi) in enumerate(spans):
+        sub = out / f"shard_{s:04d}"
+        shard_dirs.append(sub.name)
+        if resume and artifact.artifact_exists(sub):
+            continue
+        packed = build_index(
+            reads[lo:hi],
+            sample_ids=sample_ids[lo:hi],
+            config=config,
+            sample_names=names,  # global sample-id space on every shard
+            **build_kw,
+        )
+        # per-shard num_samples must span the GLOBAL sample space so the
+        # doc-sharded histogram psum has a common width
+        packed.num_samples = num_samples
+        artifact.save_artifact(packed, sub)
+    _write_cohort_manifest(out, shard_dirs, m, num_samples, names, config)
+    return out
+
+
+def build_cohort_stream(
+    records: Iterable[tuple[np.ndarray, int]],
+    out: str | Path,
+    max_bases_per_shard: int,
+    num_samples: int,
+    sample_names: Sequence[str] | None = None,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+    **build_kw,
+) -> Path:
+    """Out-of-core build from a one-pass read stream.
+
+    ``records`` yields ``(read_codes, sample_id)``; reads accumulate until
+    ``max_bases_per_shard``, then the shard is built, saved, and freed.  A
+    progress log maps completed shards to consumed-read counts, so resuming
+    re-drives the same stream, skips the consumed prefix, and continues at
+    the first unbuilt shard.
+    """
+    out = Path(out)
+    out.mkdir(parents=True, exist_ok=True)
+    config = config or IndexConfig()
+    names = (
+        list(sample_names)
+        if sample_names is not None
+        else [f"sample_{i}" for i in range(num_samples)]
+    )
+    log_path = out / PROGRESS_LOG
+
+    skip_reads = 0
+    next_shard = 0
+    if resume and log_path.exists():
+        for line in log_path.read_text().splitlines():
+            entry = json.loads(line)
+            sub = out / entry["shard"]
+            if artifact.artifact_exists(sub):
+                skip_reads = entry["reads_consumed"]
+                next_shard = entry["shard_index"] + 1
+            else:
+                break
+
+    it: Iterator[tuple[np.ndarray, int]] = iter(records)
+    consumed = 0
+    for _ in range(skip_reads):
+        next(it)
+        consumed += 1
+
+    shard_dirs = [f"shard_{s:04d}" for s in range(next_shard)]
+    buf_reads: list[np.ndarray] = []
+    buf_samples: list[int] = []
+    buf_bases = 0
+    total_reads = consumed
+
+    def flush() -> None:
+        nonlocal buf_reads, buf_samples, buf_bases, next_shard
+        if not buf_reads:
+            return
+        name = f"shard_{next_shard:04d}"
+        packed = build_index(
+            buf_reads,
+            sample_ids=np.asarray(buf_samples, dtype=np.int32),
+            config=config,
+            sample_names=names,
+            **build_kw,
+        )
+        packed.num_samples = num_samples
+        artifact.save_artifact(packed, out / name)
+        with open(log_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "shard": name,
+                        "shard_index": next_shard,
+                        "reads_consumed": total_reads,
+                    }
+                )
+                + "\n"
+            )
+        shard_dirs.append(name)
+        next_shard += 1
+        buf_reads, buf_samples, buf_bases = [], [], 0
+
+    for read, sid in it:
+        buf_reads.append(read)
+        buf_samples.append(int(sid))
+        buf_bases += len(read)
+        consumed += 1
+        total_reads = consumed
+        if buf_bases >= max_bases_per_shard:
+            flush()
+    flush()
+    _write_cohort_manifest(
+        out, shard_dirs, total_reads, num_samples, names, config
+    )
+    return out
+
+
+def load_cohort(
+    path: str | Path, mmap: bool = True
+) -> tuple[list[PackedIndex], dict]:
+    """Cohort dir → (per-shard PackedIndexes in shard order, manifest)."""
+    path = Path(path)
+    manifest = json.loads((path / COHORT_MANIFEST).read_text())
+    if manifest.get("kind") != "cohort":
+        raise ValueError(f"{path} is not a cohort artifact")
+    parts = [
+        artifact.load_artifact(path / sub, mmap=mmap)
+        for sub in manifest["shards"]
+    ]
+    return parts, manifest

@@ -9,8 +9,8 @@ loop by design, making data races structurally impossible (SURVEY.md §5
 "Race detection").
 """
 
-from readserver_tpu.serve.engine import QueryEngine, QueryResult
+from readserver_tpu.serve.engine import MultiEngine, QueryEngine, QueryResult
 from readserver_tpu.serve.dispatcher import Dispatcher
 from readserver_tpu.serve.metrics import Metrics
 
-__all__ = ["QueryEngine", "QueryResult", "Dispatcher", "Metrics"]
+__all__ = ["QueryEngine", "MultiEngine", "QueryResult", "Dispatcher", "Metrics"]

@@ -414,3 +414,95 @@ class QueryEngine:
             s, local = self._locate(read_id)
             return alphabet.decode(self.partitions[s].extract_read(local))
         return alphabet.decode(self.packed.extract_read(read_id))
+
+
+class MultiEngine:
+    """Sequential front end over per-partition engines (fewer devices than
+    cohort shards — e.g. one chip serving a many-shard cohort artifact).
+
+    The reference's front-end/backend split as a time-multiplexed loop:
+    each partition answers the full batch on the same device(s); counts
+    sum, hit sets union with global read-id offsets, histograms merge —
+    identical answers to the device-parallel doc-sharded path, trading
+    latency for HBM footprint.  Duck-types ``QueryEngine`` for the
+    dispatcher and REST front.
+    """
+
+    def __init__(self, partitions, serve_config: ServeConfig | None = None):
+        if not partitions:
+            raise ValueError("no partitions")
+        self.cfg = serve_config or ServeConfig()
+        self.partitions = list(partitions)
+        self._doc = True
+        self.packed = self.partitions[0]
+        self.engines = [QueryEngine(p, self.cfg) for p in self.partitions]
+        self._read_base = []
+        base = 0
+        for p in self.partitions:
+            self._read_base.append(base)
+            base += p.num_reads
+        self.K = self.engines[0].K
+        self.B = self.cfg.batch_size
+        self.H = self.cfg.max_hits
+        ns = max(p.num_samples for p in self.partitions)
+        self.sample_names = [f"sample_{i}" for i in range(ns)]
+        for p in self.partitions:
+            for i, nm in enumerate(p.sample_names):
+                if i < ns:
+                    self.sample_names[i] = nm
+
+    def warmup(self) -> None:
+        for e in self.engines:
+            e.warmup()
+
+    def _locate(self, rid: int) -> tuple[int, int]:
+        s = bisect.bisect_right(self._read_base, rid) - 1
+        return s, rid - self._read_base[s]
+
+    def count_batch(
+        self, kmers: list[str], both_strands: bool = False
+    ) -> list[QueryResult]:
+        per = [e.count_batch(kmers, both_strands=both_strands)
+               for e in self.engines]
+        return [
+            QueryResult(
+                kmer=km, count=sum(res[i].count for res in per)
+            )
+            for i, km in enumerate(kmers)
+        ]
+
+    def query_batch(
+        self, kmers: list[str], both_strands: bool = False
+    ) -> list[QueryResult]:
+        per = [e.query_batch(kmers, both_strands=both_strands)
+               for e in self.engines]
+        out = []
+        for i, km in enumerate(kmers):
+            hits: list[dict] = []
+            hist: dict[str, int] = {}
+            truncated = False
+            count = 0
+            for s, res in enumerate(per):
+                r = res[i]
+                count += r.count
+                truncated |= r.hits_truncated
+                for h in r.hits:
+                    hits.append(
+                        {**h, "read_id": h["read_id"] + self._read_base[s]}
+                    )
+                for k, v in (r.sample_hist or {}).items():
+                    hist[k] = hist.get(k, 0) + v
+            out.append(
+                QueryResult(
+                    kmer=km,
+                    count=count,
+                    hits=hits,
+                    sample_hist=hist,
+                    hits_truncated=truncated,
+                )
+            )
+        return out
+
+    def read_sequence(self, read_id: int) -> str:
+        s, local = self._locate(read_id)
+        return alphabet.decode(self.partitions[s].extract_read(local))

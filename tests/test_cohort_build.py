@@ -1,0 +1,190 @@
+"""Out-of-core cohort build (index/cohort.py): partitioning, shard-wise
+build + manifest, resume after interruption, streaming source, and serving
+parity against a monolithic build."""
+
+import json
+
+import numpy as np
+import pytest
+
+from readserver_tpu import alphabet
+from readserver_tpu.config import ServeConfig
+from readserver_tpu.corpus.simulate import sample_query_kmers
+from readserver_tpu.index import artifact, build_index
+from readserver_tpu.index.cohort import (
+    COHORT_MANIFEST,
+    build_cohort,
+    build_cohort_stream,
+    is_cohort,
+    load_cohort,
+    partition_spans,
+)
+from readserver_tpu.oracle import OracleFMIndex
+from readserver_tpu.parallel import make_mesh
+from readserver_tpu.serve import QueryEngine
+
+
+def test_partition_spans_cover_and_balance():
+    lengths = [100] * 50 + [10] * 500  # skewed
+    spans = partition_spans(lengths, 4)
+    assert spans[0][0] == 0 and spans[-1][1] == len(lengths)
+    for (a, b), (c, _) in zip(spans, spans[1:]):
+        assert b == c and a < b
+    totals = [sum(lengths[a:b]) for a, b in spans]
+    assert max(totals) <= 2 * min(totals)  # bases roughly balanced
+    # degenerate: as many shards as reads
+    assert partition_spans([5, 5, 5], 3) == [(0, 1), (1, 2), (2, 3)]
+    with pytest.raises(ValueError):
+        partition_spans([5, 5], 3)
+
+
+@pytest.fixture(scope="module")
+def cohort_setup(tiny_corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cohort")
+    path = build_cohort(
+        tiny_corpus.reads, tiny_corpus.sample_ids, 4, out / "pop"
+    )
+    return tiny_corpus, path
+
+
+def test_cohort_build_and_serve_parity(cohort_setup):
+    corpus, path = cohort_setup
+    assert is_cohort(path)
+    parts, manifest = load_cohort(path)
+    assert manifest["num_shards"] == 4
+    assert sum(p.num_reads for p in parts) == len(corpus.reads)
+    assert all(p.num_samples == manifest["num_samples"] for p in parts)
+
+    import jax
+
+    mesh = make_mesh(data_parallel=1, num_shards=4, devices=jax.devices()[:4])
+    eng = QueryEngine(parts, ServeConfig(batch_size=32, max_hits=64), mesh=mesh)
+    mono = QueryEngine(
+        build_index(corpus.reads, sample_ids=corpus.sample_ids),
+        ServeConfig(batch_size=32, max_hits=64),
+    )
+    fm = OracleFMIndex(corpus.reads)
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 12, corpus.spec.kmer_len, seed=91, miss_frac=0.25
+        )
+    ]
+    for rc, rm in zip(eng.query_batch(kmers), mono.query_batch(kmers)):
+        assert rc.count == rm.count == fm.count(rc.kmer)
+        if not (rc.hits_truncated or rm.hits_truncated):
+            key = lambda h: (h["read_id"], h["offset"])
+            assert sorted(map(key, rc.hits)) == sorted(map(key, rm.hits))
+            assert rc.sample_hist == rm.sample_hist
+
+
+def test_cohort_resume_skips_complete_shards(tiny_corpus, tmp_path):
+    out = tmp_path / "pop"
+    build_cohort(tiny_corpus.reads, tiny_corpus.sample_ids, 3, out)
+    # simulate interruption: shard 1 incomplete, manifest missing
+    (out / COHORT_MANIFEST).unlink()
+    (out / "shard_0001" / "manifest.json").unlink()
+    mtime0 = (out / "shard_0000" / "manifest.json").stat().st_mtime_ns
+
+    build_cohort(tiny_corpus.reads, tiny_corpus.sample_ids, 3, out)
+    assert is_cohort(out)
+    # untouched shard not rebuilt; broken shard rebuilt
+    assert (out / "shard_0000" / "manifest.json").stat().st_mtime_ns == mtime0
+    parts, _ = load_cohort(out)
+    assert sum(p.num_reads for p in parts) == len(tiny_corpus.reads)
+
+
+def _stream(corpus, fail_after=None):
+    for i, r in enumerate(corpus.reads):
+        if fail_after is not None and i == fail_after:
+            raise RuntimeError("simulated crash")
+        yield r, int(corpus.sample_ids[i])
+
+
+def test_cohort_stream_resume_after_crash(tiny_corpus, tmp_path):
+    num_samples = int(np.max(tiny_corpus.sample_ids)) + 1
+    budget = sum(len(r) for r in tiny_corpus.reads) // 5
+
+    done = tmp_path / "full"
+    build_cohort_stream(
+        _stream(tiny_corpus), done, budget, num_samples
+    )
+
+    crashed = tmp_path / "crashed"
+    with pytest.raises(RuntimeError):
+        build_cohort_stream(
+            _stream(tiny_corpus, fail_after=len(tiny_corpus.reads) // 2),
+            crashed,
+            budget,
+            num_samples,
+        )
+    assert not is_cohort(crashed)  # no manifest yet → incomplete
+    # resume with the full stream: skips consumed prefix, finishes
+    build_cohort_stream(_stream(tiny_corpus), crashed, budget, num_samples)
+    assert is_cohort(crashed)
+
+    a, ma = load_cohort(done)
+    b, mb = load_cohort(crashed)
+    assert ma["num_reads"] == mb["num_reads"] == len(tiny_corpus.reads)
+    assert len(a) == len(b)
+    for pa, pb in zip(a, b):
+        assert pa.num_reads == pb.num_reads
+        assert np.array_equal(pa.sym4, pb.sym4)
+        assert np.array_equal(pa.dollar_map, pb.dollar_map)
+
+
+def test_multi_engine_matches_monolithic(cohort_setup):
+    from readserver_tpu.serve import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    multi = MultiEngine(parts, ServeConfig(batch_size=32, max_hits=64))
+    mono = QueryEngine(
+        build_index(corpus.reads, sample_ids=corpus.sample_ids),
+        ServeConfig(batch_size=32, max_hits=64),
+    )
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 10, corpus.spec.kmer_len, seed=92, miss_frac=0.25
+        )
+    ]
+    for rm, rx in zip(mono.query_batch(kmers), multi.query_batch(kmers)):
+        assert rm.count == rx.count
+        if not (rm.hits_truncated or rx.hits_truncated):
+            key = lambda h: (h["read_id"], h["offset"])
+            assert sorted(map(key, rm.hits)) == sorted(map(key, rx.hits))
+            assert (rm.sample_hist or {}) == (rx.sample_hist or {})
+    for rm, rx in zip(
+        mono.count_batch(kmers, both_strands=True),
+        multi.count_batch(kmers, both_strands=True),
+    ):
+        assert rm.count == rx.count
+    # global read ids resolve through the multi-engine cold store
+    rid = next(h["read_id"] for r in multi.query_batch(kmers) for h in r.hits)
+    assert multi.read_sequence(rid) == alphabet.decode(corpus.reads[rid])
+
+
+def test_cli_doc_shards_build_and_query(tiny_corpus, tmp_path, capsys):
+    from readserver_tpu.cli import main
+    from readserver_tpu.corpus import io as cio
+    from readserver_tpu.oracle import naive_count
+
+    fa = tmp_path / "r.fa"
+    cio.write_fasta(
+        fa,
+        (
+            (f"read_{i}", alphabet.decode(r))
+            for i, r in enumerate(tiny_corpus.reads[:200])
+        ),
+    )
+    out = str(tmp_path / "pop")
+    assert main(
+        ["build", "--fasta", str(fa), "--out", out, "--doc-shards", "3"]
+    ) == 0
+    assert is_cohort(out)
+    km = alphabet.decode(tiny_corpus.reads[0][:20])
+    capsys.readouterr()
+    assert main(["query", "--index", out, "--kmer", km]) == 0
+    body = json.loads(capsys.readouterr().out.strip())
+    assert body["count"] == naive_count(tiny_corpus.reads[:200], km)
