@@ -32,7 +32,7 @@ def get_packed(config_name: str, scale: float):
     from readserver_tpu.corpus import simulate
     from readserver_tpu.index import artifact, build_index
 
-    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}"
+    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}_v2"
     if artifact.artifact_exists(cache):
         return artifact.load_artifact(cache, mmap=False), simulate.CONFIGS[config_name]
     t0 = time.time()
@@ -65,6 +65,8 @@ def main() -> int:
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the pre-timing parity self-check")
+    ap.add_argument("--no-pair", action="store_true",
+                    help="disable the 2-step (pair-rank) search tier")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,7 @@ def main() -> int:
         DeviceIndex,
         backward_search,
         backward_search_lut,
+        backward_search_pair,
         build_prefix_lut,
         default_lut_order,
         resolve_intervals,
@@ -117,7 +120,15 @@ def main() -> int:
 
     # NB: pass the LUT as an argument — closing over it bakes a
     # multi-MB constant into the executable and inflates compile time
-    if lut is not None:
+    use_pair = index.rank2_rows is not None and not args.no_pair
+    if use_pair:
+        _f = jax.jit(
+            lambda idx, lut_, km, ln: backward_search_pair(
+                idx, km, lut_, p if lut_ is not None else 0
+            )
+        )
+        count_fn = lambda idx, km, ln: _f(idx, lut, km, ln)
+    elif lut is not None:
         _f = jax.jit(
             lambda idx, lut_, km, ln: backward_search_lut(idx, lut_, p, km, ln)
         )
@@ -141,9 +152,14 @@ def main() -> int:
         # LUT path == plain path on one batch, plus naive counts on a few
         l1, u1 = count_fn(index, batches[0], lengths_d)
         l2, u2 = jax.jit(backward_search)(index, batches[0], lengths_d)
-        if not (np.array_equal(np.asarray(l1), np.asarray(l2))
-                and np.array_equal(np.asarray(u1), np.asarray(u2))):
-            print(json.dumps({"error": "LUT/plain path mismatch"}))
+        l1, u1 = np.asarray(l1), np.asarray(u1)
+        l2, u2 = np.asarray(l2), np.asarray(u2)
+        ne = (u2 - l2) > 0  # empty intervals: counts must agree (bounds
+        # freeze at different step granularity on the pair path)
+        if not (np.array_equal(u1 - l1, u2 - l2)
+                and np.array_equal(l1[ne], l2[ne])
+                and np.array_equal(u1[ne], u2[ne])):
+            print(json.dumps({"error": "fast/plain path mismatch"}))
             return 1
         if packed.n < 300_000_000:  # naive scan affordable
             from readserver_tpu.oracle.naive import naive_count_matrix
@@ -221,6 +237,7 @@ def main() -> int:
         "kmer_len": k,
         "n_symbols": packed.n,
         "prefix_lut_order": p,
+        "pair_rank": use_pair,
         "parity_checked": parity_checked,
         "device": dev_kind,
         **extras,

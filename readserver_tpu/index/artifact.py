@@ -29,7 +29,7 @@ _ARRAYS = [
     "corpus_packed",
     "read_offsets",
 ]
-_OPTIONAL_ARRAYS = ["lf", "mark_rank", "sample_pairs"]
+_OPTIONAL_ARRAYS = ["lf", "mark_rank", "sample_pairs", "rank2_blocks", "C2"]
 
 MANIFEST_NAME = "manifest.json"
 

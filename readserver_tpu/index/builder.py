@@ -49,6 +49,12 @@ class PackedIndex:
     mark_rank: np.ndarray | None = None     # uint32 [NB+1, row_words]
     sample_pairs: np.ndarray | None = None  # int32 [n_marked, 2]
     sample_rate: int = 0                    # 0 = fast resolve absent
+    # 2-step search tier (optional): rank blocks over the 16 base-pair
+    # planes + pair-bucket starts — one rank advances the backward search
+    # two characters (halves the dependent-gather chain, the hot path's
+    # latency bound on v5e)
+    rank2_blocks: np.ndarray | None = None  # uint32 [16, NB+1, row_words]
+    C2: np.ndarray | None = None            # int64 [16]
 
     @property
     def num_blocks(self) -> int:
@@ -123,6 +129,7 @@ def build_index(
     sample_names: Sequence[str] | None = None,
     fast_resolve: bool = True,
     sample_rate: int = 32,
+    pair_rank: bool = True,
 ) -> PackedIndex:
     config = config or IndexConfig()
     codes = [
@@ -153,14 +160,21 @@ def build_index(
     sym4 = packing.pack_sym4(bwt)
 
     lf = mark_rank = sample_pairs = None
+    rank2_blocks = C2 = None
     srate = 0
-    if fast_resolve:
+    if fast_resolve or pair_rank:
         try:
             from readserver_tpu.native import compute_lf_native
 
             lf = compute_lf_native(bwt, C)
         except Exception:
             lf = packing.compute_lf(bwt, C)
+    if pair_rank:
+        pair = packing.pair_codes_from_lf(bwt, lf)
+        rank2_blocks, _ = packing.pack_plane_blocks(pair, 16, config)
+        C2 = packing.pair_C2(rank_blocks, C, config)
+        del pair
+    if fast_resolve:
         # per-read text-position sampling: mark rows whose suffix offset is
         # a positive multiple of sample_rate (offset-0 rows are $-terminal
         # already); the walk then ends within < sample_rate steps
@@ -183,6 +197,8 @@ def build_index(
         lf = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
         srate = sample_rate
         del read_of, offsets, marked
+    else:
+        lf = None  # computed only for the pair tier; don't ship it
     del sa, text
 
     if sample_ids is None:
@@ -218,4 +234,6 @@ def build_index(
         mark_rank=mark_rank,
         sample_pairs=sample_pairs,
         sample_rate=srate,
+        rank2_blocks=rank2_blocks,
+        C2=C2,
     )

@@ -156,6 +156,7 @@ def pack_from_bwt(
     config: IndexConfig | None = None,
     fast_resolve: bool = True,
     sample_rate: int = 32,
+    pair_rank: bool = True,
 ) -> PackedIndex:
     """Pack device arrays from a BWT plus explicit read metadata."""
     config = config or IndexConfig()
@@ -171,9 +172,15 @@ def pack_from_bwt(
     num_samples = int(read_to_sample.max()) + 1 if m else 0
 
     lf = mark_rank = sample_pairs = None
+    rank2_blocks = C2 = None
     srate = 0
+    lf0 = plain_lf(bwt, C) if (fast_resolve or pair_rank) else None
+    if pair_rank:
+        pair = packing.pair_codes_from_lf(bwt, lf0)
+        rank2_blocks, _ = packing.pack_plane_blocks(pair, 16, config)
+        C2 = packing.pair_C2(rank_blocks, C, config)
+        del pair
     if fast_resolve:
-        lf0 = plain_lf(bwt, C)
         lf, mark_rank, sample_pairs = _fast_resolve_from_lf(
             lf0, np.asarray(read_lengths), config, sample_rate
         )
@@ -200,6 +207,8 @@ def pack_from_bwt(
         mark_rank=mark_rank,
         sample_pairs=sample_pairs,
         sample_rate=srate,
+        rank2_blocks=rank2_blocks,
+        C2=C2,
     )
 
 

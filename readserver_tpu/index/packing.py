@@ -21,6 +21,41 @@ from readserver_tpu import alphabet
 from readserver_tpu.config import IndexConfig
 
 
+def pack_plane_blocks(
+    codes: np.ndarray, num_planes: int, config: IndexConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symbol codes → fused rank-block table over ``num_planes`` planes.
+
+    Codes ≥ ``num_planes`` are counted in no plane (used for the pair
+    tier's "invalid" code).  Returns (table uint32 [P, NB+1, row_words],
+    counts int64 [P]).
+    """
+    codes = np.asarray(codes)
+    n = len(codes)
+    S, W, R = config.block_size, config.words_per_block, config.row_words
+    nb = max(1, -(-n // S))  # ceil, ≥1 so empty inputs still have a row
+    padded = np.full(nb * S, num_planes, dtype=codes.dtype)
+    padded[:n] = codes
+
+    table = np.zeros((num_planes, nb + 1, R), dtype=np.uint32)
+    counts = np.zeros(num_planes, dtype=np.int64)
+    for c in range(num_planes):
+        bits = padded == c
+        words = np.packbits(bits, bitorder="little")
+        words = words.view("<u4").reshape(nb, W)
+        table[c, :nb, 1 : 1 + W] = words
+        per_block = bits.reshape(nb, S).sum(axis=1, dtype=np.int64)
+        counts[c] = int(per_block.sum())
+        ckpt = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(per_block, out=ckpt[1:])
+        if ckpt[-1] >= 1 << 32:
+            raise ValueError(
+                "per-shard occ checkpoint exceeds uint32; shard the index"
+            )
+        table[c, :, 0] = ckpt.astype(np.uint32)
+    return table, counts
+
+
 def pack_rank_blocks(
     bwt: np.ndarray, config: IndexConfig
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -31,32 +66,9 @@ def pack_rank_blocks(
     counts:      int64  [NUM_SYMBOLS]
     """
     bwt = np.asarray(bwt, dtype=np.uint8)
-    n = len(bwt)
-    S, W, R = config.block_size, config.words_per_block, config.row_words
-    nb = max(1, -(-n // S))  # ceil, ≥1 so empty inputs still have a row
-    padded = np.zeros(nb * S, dtype=np.uint8)
-    padded[:n] = bwt
-    pad_mask = np.zeros(nb * S, dtype=bool)
-    pad_mask[:n] = True
-
-    rank_blocks = np.zeros((alphabet.NUM_SYMBOLS, nb + 1, R), dtype=np.uint32)
-    counts = np.zeros(alphabet.NUM_SYMBOLS, dtype=np.int64)
-    for c in range(alphabet.NUM_SYMBOLS):
-        bits = (padded == c) & pad_mask
-        words = np.packbits(bits, bitorder="little")
-        words = words.view("<u4").reshape(nb, W)
-        rank_blocks[c, :nb, 1 : 1 + W] = words
-        per_block = bits.reshape(nb, S).sum(axis=1, dtype=np.int64)
-        total = int(per_block.sum())
-        counts[c] = total
-        ckpt = np.zeros(nb + 1, dtype=np.int64)
-        np.cumsum(per_block, out=ckpt[1:])
-        if ckpt[-1] >= 1 << 32:
-            raise ValueError(
-                "per-shard occ checkpoint exceeds uint32; shard the index"
-            )
-        rank_blocks[c, :, 0] = ckpt.astype(np.uint32)
-
+    rank_blocks, counts = pack_plane_blocks(
+        bwt, alphabet.NUM_SYMBOLS, config
+    )
     C = np.zeros(alphabet.NUM_SYMBOLS + 1, dtype=np.int64)
     np.cumsum(counts, out=C[1:])
     return rank_blocks, C, counts
@@ -135,6 +147,45 @@ def compute_lf(bwt: np.ndarray, C: np.ndarray, chunk: int = 1 << 24) -> np.ndarr
             lf[a:b][mask] = vals.astype(np.int32)
             running[c] += cnt
     return lf
+
+
+PAIR_INVALID = 16  # pair code for rows whose 2-char context crosses a $
+
+
+def pair_codes_from_lf(bwt: np.ndarray, lf: np.ndarray) -> np.ndarray:
+    """Per-row pair code for the 2-step rank tier (uint8 [n]).
+
+    Row ``j``'s pair is the two characters preceding suffix ``j`` in its
+    read: ``c2 = BWT[j]`` and ``c1 = BWT[LF(j)]`` (LF moves one position
+    earlier in the text).  Code ``(c1-1)*4 + (c2-1)`` ∈ 0..15 when both
+    are bases; :data:`PAIR_INVALID` when either is ``$`` (suffix offset
+    < 2 — nothing can prepend two characters there).  ``lf`` must be the
+    plain LF array (no fast-resolve mark bits).
+    """
+    c2 = np.asarray(bwt, dtype=np.int32)
+    c1 = c2[np.asarray(lf, dtype=np.int64)]
+    valid = (c1 > 0) & (c2 > 0)
+    pair = (c1 - 1) * 4 + (c2 - 1)
+    return np.where(valid, pair, PAIR_INVALID).astype(np.uint8)
+
+
+def pair_C2(
+    rank_blocks: np.ndarray, C: np.ndarray, config: IndexConfig
+) -> np.ndarray:
+    """int64 [16]: SA row where the 2-mer bucket ``(c1,c2)`` starts.
+
+    ``C2[(c1-1)*4 + (c2-1)] = C[c1] + occ(c1, C[c2])`` — the interval
+    start a 1-step search would reach after the 2-mer's two steps, so a
+    pair step ``l' = C2[s] + occ2(s, l)`` lands exactly where two single
+    steps would.
+    """
+    C2 = np.zeros(16, dtype=np.int64)
+    for c1 in range(1, 5):
+        for c2 in range(1, 5):
+            C2[(c1 - 1) * 4 + (c2 - 1)] = int(C[c1]) + occ_scalar(
+                rank_blocks, config, c1, int(C[c2])
+            )
+    return C2
 
 
 def occ_scalar(

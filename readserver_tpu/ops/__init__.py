@@ -12,6 +12,7 @@ from readserver_tpu.ops.rank import occ
 from readserver_tpu.ops.search import (
     backward_search,
     backward_search_lut,
+    backward_search_pair,
     encode_query_batch,
 )
 from readserver_tpu.ops.lut import build_prefix_lut, default_lut_order
@@ -22,6 +23,7 @@ __all__ = [
     "occ",
     "backward_search",
     "backward_search_lut",
+    "backward_search_pair",
     "build_prefix_lut",
     "default_lut_order",
     "encode_query_batch",

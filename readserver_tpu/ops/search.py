@@ -132,5 +132,87 @@ def backward_search_lut(
     return _scan_steps(index, rank_fn, kmers, lengths, l, u, K - p)
 
 
+def backward_search_pair(
+    index: DeviceIndex,
+    kmers: jax.Array,     # int32 [B, K]; EVERY query must have length K
+    lut: jax.Array | None = None,
+    p: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """2-step backward search: one rank gather advances TWO characters.
+
+    Uses the pair-plane tier (``rank2_rows``/``C2``): for a 2-mer
+    ``s = c1 c2``,  ``l' = C2[s] + occ2(s, l)`` lands exactly where two
+    single steps would, so the dependent-gather chain — the hot path's
+    latency bound on v5e (~16ns per gathered row, flat in table size) —
+    is half as deep.  The k-step FM-index idea, here at k=2; the 16 pair
+    planes cost 3.2× the single-symbol table's HBM, which measured as
+    free (gather rate is issue-bound, not cache-bound).
+
+    Restricted to uniform full-width batches (every query length == K,
+    which is how the dispatcher pads batches anyway); the engine routes
+    mixed-length batches to the masked 1-step path.
+
+    Equivalence contract vs :func:`backward_search`: counts are equal for
+    every query; NON-EMPTY intervals are bit-identical.  Queries that die
+    mid-search freeze at pair (not char) granularity, so the frozen (and
+    meaningless) bounds of an empty interval may differ.
+    """
+    B, K = kmers.shape
+    if index.rank2_rows is None:
+        raise ValueError("index was built without the pair-rank tier")
+
+    def rank2(pc, i):
+        return rank_ops.occ_rows(
+            index.rank2_rows,
+            pc,
+            i,
+            rows_per_symbol=index.rows_per_symbol,
+            log2_block=index.log2_block,
+            words_per_block=index.words_per_block,
+        )
+
+    if lut is not None and p:
+        rows = jnp.take(lut, prefix_ids(kmers, p), axis=0)
+        l, u = rows[:, 0], rows[:, 1]
+        r = K - p
+    else:
+        c_last = kmers[:, K - 1]
+        l = jnp.take(index.C, c_last)
+        u = jnp.take(index.C, c_last + 1)
+        r = K - 1
+
+    sub = kmers[:, :r]
+    odd = r % 2
+    if odd:
+        single_col = sub[:, 0]
+        sub = sub[:, 1:]
+    npairs = sub.shape[1] // 2
+    if npairs:
+        pcs = (sub[:, 0::2] - 1) * 4 + (sub[:, 1::2] - 1)   # [B, npairs]
+        steps = jnp.flip(pcs.T, axis=0)                      # right-to-left
+
+        def step(carry, pc):
+            l, u = carry
+            active = l < u
+            occ2 = rank2(jnp.concatenate([pc, pc]), jnp.concatenate([l, u]))
+            base = jnp.take(index.C2, pc)
+            l = jnp.where(active, base + occ2[:B], l)
+            u = jnp.where(active, base + occ2[B:], u)
+            return (l, u), None
+
+        (l, u), _ = jax.lax.scan(step, (l, u), steps)
+    if odd:
+        active = l < u
+        occ2 = rank_ops.occ(
+            index,
+            jnp.concatenate([single_col, single_col]),
+            jnp.concatenate([l, u]),
+        )
+        base = jnp.take(index.C, single_col)
+        l = jnp.where(active, base + occ2[:B], l)
+        u = jnp.where(active, base + occ2[B:], u)
+    return l, u
+
+
 def interval_counts(l: jax.Array, u: jax.Array) -> jax.Array:
     return (u - l).astype(jnp.int32)

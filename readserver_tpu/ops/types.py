@@ -35,6 +35,10 @@ class DeviceIndex:
     lf: jax.Array | None = None           # int32 [n]; sign bit = sampled row
     mark_rank: jax.Array | None = None    # uint32 [NB+1, row_words]
     sample_pairs: jax.Array | None = None # int32 [n_marked, 2]
+    # 2-step search tier (None when built without it): pair-plane rank
+    # table + 2-mer bucket starts — one gather advances two characters
+    rank2_rows: jax.Array | None = None   # uint32 [16*(NB+1), row_words]
+    C2: jax.Array | None = None           # int32 [16]
     # static metadata
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_reads: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -82,6 +86,20 @@ class DeviceIndex:
                 if has_fr
                 else None
             ),
+            rank2_rows=(
+                put(
+                    np.ascontiguousarray(
+                        packed.rank2_blocks.reshape(-1, cfg.row_words)
+                    )
+                )
+                if packed.rank2_blocks is not None
+                else None
+            ),
+            C2=(
+                put(np.asarray(packed.C2, dtype=np.int32))
+                if packed.C2 is not None
+                else None
+            ),
             n=int(packed.n),
             num_reads=int(packed.num_reads),
             num_samples=int(packed.num_samples),
@@ -111,6 +129,8 @@ jax.tree_util.register_dataclass(
         "lf",
         "mark_rank",
         "sample_pairs",
+        "rank2_rows",
+        "C2",
     ],
     meta_fields=[
         "n",

@@ -194,6 +194,7 @@ class QueryEngine:
             self.index = DeviceIndex.from_packed(packed)
             from readserver_tpu.ops import (
                 backward_search_lut,
+                backward_search_pair,
                 build_prefix_lut,
                 default_lut_order,
             )
@@ -206,8 +207,18 @@ class QueryEngine:
             self.lut = (
                 build_prefix_lut(self.index, self.lut_p) if self.lut_p else None
             )
+            self.has_pair = self.index.rank2_rows is not None
 
-            def _search(idx, lut, codes, lengths, use_lut: bool):
+            def _search(idx, lut, codes, lengths, use_lut: bool,
+                        use_pair: bool = False):
+                if use_pair:
+                    # uniform full-length batch: 2-step path (half the
+                    # dependent rank gathers)
+                    return backward_search_pair(
+                        idx, codes,
+                        lut if use_lut else None,
+                        self.lut_p if use_lut else 0,
+                    )
                 if use_lut:
                     return backward_search_lut(
                         idx, lut, self.lut_p, codes, lengths
@@ -217,8 +228,8 @@ class QueryEngine:
             frac = self.cfg.resolve_budget_frac
             budget = int(frac * self.B * self.H) if frac else None
 
-            def _full(idx, lut, codes, lengths, use_lut):
-                l, u = _search(idx, lut, codes, lengths, use_lut)
+            def _full(idx, lut, codes, lengths, use_lut, use_pair):
+                l, u = _search(idx, lut, codes, lengths, use_lut, use_pair)
                 rid, off, valid = resolve_intervals(
                     idx, l, u, self.H, row_budget=budget
                 )
@@ -228,12 +239,16 @@ class QueryEngine:
                     valid=valid, sample_hist=hist,
                 )
 
-            def _count(idx, lut, codes, lengths, use_lut):
-                l, u = _search(idx, lut, codes, lengths, use_lut)
+            def _count(idx, lut, codes, lengths, use_lut, use_pair):
+                l, u = _search(idx, lut, codes, lengths, use_lut, use_pair)
                 return dict(l=l, u=u, count=u - l)
 
-            self._full_jit = jax.jit(_full, static_argnames=("use_lut",))
-            self._count_jit = jax.jit(_count, static_argnames=("use_lut",))
+            self._full_jit = jax.jit(
+                _full, static_argnames=("use_lut", "use_pair")
+            )
+            self._count_jit = jax.jit(
+                _count, static_argnames=("use_lut", "use_pair")
+            )
 
     # ------------------------------------------------------------- helpers
 
@@ -290,8 +305,14 @@ class QueryEngine:
             use_lut = bool(
                 self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
             ) if nq else False
+            # pair path requires every query at full width K (padding
+            # dummies already are); counts match the 1-step path exactly,
+            # empty-interval bounds are reported as counts anyway
+            use_pair = bool(
+                self.has_pair and nq and int(lengths.min()) == codes.shape[1]
+            )
             fn = self._count_jit if counts_only else self._full_jit
-            out = fn(self.index, self.lut, codes, lengths, use_lut)
+            out = fn(self.index, self.lut, codes, lengths, use_lut, use_pair)
         return {k: np.asarray(v)[:nq] for k, v in out.items()}
 
     # ------------------------------------------------------------ public
