@@ -32,7 +32,7 @@ def get_packed(config_name: str, scale: float):
     from readserver_tpu.corpus import simulate
     from readserver_tpu.index import artifact, build_index
 
-    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}_v2"
+    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}_v3"
     if artifact.artifact_exists(cache):
         return artifact.load_artifact(cache, mmap=False), simulate.CONFIGS[config_name]
     t0 = time.time()

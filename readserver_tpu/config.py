@@ -24,14 +24,15 @@ class IndexConfig:
     replacement for SGA's LargeMark/SmallMark two-level sampling
     (SURVEY.md §2.1 "Occ/rank structure").
 
-    Defaults (128-symbol blocks, 20-byte rows) were measured on v5e: XLA's
-    row gather is latency-bound per row, so narrow rows + a compact table
-    (0.78 bytes/symbol) maximize cache hit rate — ~60M ranks/s at B=256k
-    vs ~41M with 64-byte padded rows.
+    Defaults (64-symbol blocks, 16-byte rows) were measured on v5e: XLA's
+    row gather is issue-rate-bound per row (flat in table size), and
+    16-byte rows gather ~13% faster than 20-byte (75 vs 66 Mrows/s at
+    B=512k) — the fourth word is padding (ckpt + 2 plane words), worth
+    the 1.25 B/sym table for the rate.
     """
 
-    block_size: int = 128          # BWT symbols per rank block (power of 2)
-    row_words: int = 5             # uint32 words per block row (ckpt + 4)
+    block_size: int = 64           # BWT symbols per rank block (power of 2)
+    row_words: int = 4             # uint32 words per row (ckpt + 2 + pad)
     max_query_len: int = 32        # max k-mer length served per batch
     max_read_len: int = 256        # bound on LF-walk depth at resolve time
     format_version: int = 1
@@ -79,6 +80,10 @@ class ServeConfig:
     # their queries report hits_truncated). None disables.
     resolve_budget_frac: float | None = 0.6
     batch_deadline_ms: float = 2.0 # max wait to fill a batch
+    # whole-batch early termination (lax.while_loop): skips remaining scan
+    # steps once every interval is empty — wins on miss-heavy workloads
+    # (e.g. contamination screens), costs one any-reduce per step otherwise
+    early_exit: bool = False
     host: str = "127.0.0.1"
     port: int = 8080
     num_shards: int = 1            # BWT-interval shards (mesh 'shard' axis)

@@ -57,8 +57,18 @@ def encode_query_batch(
     return out, lengths
 
 
-def _scan_steps(index, rank_fn, kmers, lengths, l, u, last_col: int):
-    """Masked lockstep steps over columns last_col-1 .. 0."""
+def _scan_steps(
+    index, rank_fn, kmers, lengths, l, u, last_col: int,
+    early_exit: bool = False,
+):
+    """Masked lockstep steps over columns last_col-1 .. 0.
+
+    ``early_exit`` switches the ``scan`` to a ``while_loop`` that stops
+    once no query can change (every interval empty or already finished) —
+    identical results, and on miss-heavy workloads most rank gathers are
+    skipped (the reference server's per-query loop gets this for free;
+    lockstep batches only get it when the whole batch dies).
+    """
     B, K = kmers.shape
     C = index.C
     if last_col <= 0:
@@ -66,17 +76,39 @@ def _scan_steps(index, rank_fn, kmers, lengths, l, u, last_col: int):
     cols = jnp.flip(kmers[:, :last_col].T, axis=0)           # [last_col, B]
     js = jnp.arange(last_col - 1, -1, -1, dtype=jnp.int32)
 
-    def step(carry, xs):
-        l, u = carry
-        c, j = xs
+    def apply(l, u, c, j):
         active = (j >= K - lengths) & (l < u)
         occ2 = rank_fn(jnp.concatenate([c, c]), jnp.concatenate([l, u]))
         base = jnp.take(C, c)
         l = jnp.where(active, base + occ2[:B], l)
         u = jnp.where(active, base + occ2[B:], u)
-        return (l, u), None
+        return l, u, active
 
-    (l, u), _ = jax.lax.scan(step, (l, u), (cols, js))
+    if not early_exit:
+        def step(carry, xs):
+            l, u = carry
+            l, u, _ = apply(l, u, *xs)
+            return (l, u), None
+
+        (l, u), _ = jax.lax.scan(step, (l, u), (cols, js))
+        return l, u
+
+    def cond(state):
+        t, l, u, alive = state
+        return (t < last_col) & alive
+
+    def body(state):
+        t, l, u, _ = state
+        c = jax.lax.dynamic_index_in_dim(cols, t, keepdims=False)
+        j = js[t]
+        l, u, active = apply(l, u, c, j)
+        # will anyone still be active at a LATER column? (j decreases)
+        alive = jnp.any((js[t] - 1 >= K - lengths) & (l < u))
+        return t + 1, l, u, alive
+
+    _, l, u, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), l, u, jnp.bool_(True))
+    )
     return l, u
 
 
@@ -85,6 +117,7 @@ def backward_search(
     kmers: jax.Array,     # int32 [B, K], codes 1..4 RIGHT-aligned, 0 padding
     lengths: jax.Array,   # int32 [B], all >= 1
     rank_fn=None,
+    early_exit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """→ half-open interval ``(l, u)`` per query, int32 [B] each.
 
@@ -102,7 +135,9 @@ def backward_search(
     c_last = kmers[:, K - 1]
     l = jnp.take(index.C, c_last)
     u = jnp.take(index.C, c_last + 1)
-    return _scan_steps(index, rank_fn, kmers, lengths, l, u, K - 1)
+    return _scan_steps(
+        index, rank_fn, kmers, lengths, l, u, K - 1, early_exit=early_exit
+    )
 
 
 def prefix_ids(kmers: jax.Array, p: int) -> jax.Array:
@@ -137,6 +172,7 @@ def backward_search_pair(
     kmers: jax.Array,     # int32 [B, K]; EVERY query must have length K
     lut: jax.Array | None = None,
     p: int = 0,
+    early_exit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """2-step backward search: one rank gather advances TWO characters.
 
@@ -191,16 +227,32 @@ def backward_search_pair(
         pcs = (sub[:, 0::2] - 1) * 4 + (sub[:, 1::2] - 1)   # [B, npairs]
         steps = jnp.flip(pcs.T, axis=0)                      # right-to-left
 
-        def step(carry, pc):
-            l, u = carry
+        def apply(l, u, pc):
             active = l < u
             occ2 = rank2(jnp.concatenate([pc, pc]), jnp.concatenate([l, u]))
             base = jnp.take(index.C2, pc)
             l = jnp.where(active, base + occ2[:B], l)
             u = jnp.where(active, base + occ2[B:], u)
-            return (l, u), None
+            return l, u
 
-        (l, u), _ = jax.lax.scan(step, (l, u), steps)
+        if early_exit:
+            def cond(state):
+                t, l, u = state
+                return (t < npairs) & jnp.any(l < u)
+
+            def body(state):
+                t, l, u = state
+                pc = jax.lax.dynamic_index_in_dim(steps, t, keepdims=False)
+                l, u = apply(l, u, pc)
+                return t + 1, l, u
+
+            _, l, u = jax.lax.while_loop(cond, body, (jnp.int32(0), l, u))
+        else:
+            def step(carry, pc):
+                l, u = apply(*carry, pc)
+                return (l, u), None
+
+            (l, u), _ = jax.lax.scan(step, (l, u), steps)
     if odd:
         active = l < u
         occ2 = rank_ops.occ(

@@ -209,6 +209,8 @@ class QueryEngine:
             )
             self.has_pair = self.index.rank2_rows is not None
 
+            ee = self.cfg.early_exit
+
             def _search(idx, lut, codes, lengths, use_lut: bool,
                         use_pair: bool = False):
                 if use_pair:
@@ -218,12 +220,13 @@ class QueryEngine:
                         idx, codes,
                         lut if use_lut else None,
                         self.lut_p if use_lut else 0,
+                        early_exit=ee,
                     )
                 if use_lut:
                     return backward_search_lut(
                         idx, lut, self.lut_p, codes, lengths
                     )
-                return backward_search(idx, codes, lengths)
+                return backward_search(idx, codes, lengths, early_exit=ee)
 
             frac = self.cfg.resolve_budget_frac
             budget = int(frac * self.B * self.H) if frac else None

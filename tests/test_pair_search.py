@@ -114,6 +114,37 @@ def test_pair_tier_round_trips(setup, tmp_path):
     assert np.array_equal(imported.C2, direct.C2)
 
 
+@pytest.mark.parametrize("miss", [0.0, 0.5, 1.0])
+def test_early_exit_identical(setup, miss):
+    corpus, packed, dev = setup
+    k = corpus.spec.kmer_len
+    codes, lengths = _batch(corpus, 48, k, seed=int(miss * 10), miss_frac=miss)
+    for fn, kw in [
+        (backward_search, dict(lengths=lengths)),
+        (backward_search_pair, {}),
+    ]:
+        l1, u1 = jax.jit(lambda d, c: fn(d, c, **kw))(dev, codes)
+        l2, u2 = jax.jit(lambda d, c: fn(d, c, early_exit=True, **kw))(
+            dev, codes
+        )
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
+        assert np.array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_early_exit_mixed_lengths(setup):
+    corpus, packed, dev = setup
+    k = corpus.spec.kmer_len
+    kms = sample_query_kmers(corpus, 24, k, seed=3, miss_frac=0.4)
+    kms = [km[: 5 + (i % (k - 5))] for i, km in enumerate(kms)]
+    codes, lengths = encode_query_batch(kms, k)
+    l1, u1 = jax.jit(backward_search)(dev, codes, lengths)
+    l2, u2 = jax.jit(
+        lambda d, c, ln: backward_search(d, c, ln, early_exit=True)
+    )(dev, codes, lengths)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert np.array_equal(np.asarray(u1), np.asarray(u2))
+
+
 def test_pair_absent_raises(tiny_corpus):
     packed = build_index(tiny_corpus.reads[:50], pair_rank=False)
     assert packed.rank2_blocks is None
