@@ -32,7 +32,7 @@ def get_packed(config_name: str, scale: float):
     from readserver_tpu.corpus import simulate
     from readserver_tpu.index import artifact, build_index
 
-    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}_v3"
+    cache = REPO / "data" / f"bench_{config_name}_s{scale:g}_v4"
     if artifact.artifact_exists(cache):
         return artifact.load_artifact(cache, mmap=False), simulate.CONFIGS[config_name]
     t0 = time.time()
@@ -238,6 +238,7 @@ def main() -> int:
         "n_symbols": packed.n,
         "prefix_lut_order": p,
         "pair_rank": use_pair,
+        "kstep": (3 if index.rank3_rows is not None else 2) if use_pair else 1,
         "parity_checked": parity_checked,
         "device": dev_kind,
         **extras,

@@ -29,7 +29,10 @@ _ARRAYS = [
     "corpus_packed",
     "read_offsets",
 ]
-_OPTIONAL_ARRAYS = ["lf", "mark_rank", "sample_pairs", "rank2_blocks", "C2"]
+_OPTIONAL_ARRAYS = [
+    "lf", "mark_rank", "sample_pairs",
+    "rank2_blocks", "C2", "rank3_blocks", "C3",
+]
 
 MANIFEST_NAME = "manifest.json"
 

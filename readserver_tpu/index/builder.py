@@ -22,6 +22,9 @@ from readserver_tpu import alphabet
 from readserver_tpu.config import IndexConfig
 from readserver_tpu.index import packing
 
+# auto-enable the 64-plane (16 B/sym) 3-step tier below this index size
+TRIPLE_TIER_MAX_N = 300_000_000
+
 
 @dataclass
 class PackedIndex:
@@ -49,12 +52,15 @@ class PackedIndex:
     mark_rank: np.ndarray | None = None     # uint32 [NB+1, row_words]
     sample_pairs: np.ndarray | None = None  # int32 [n_marked, 2]
     sample_rate: int = 0                    # 0 = fast resolve absent
-    # 2-step search tier (optional): rank blocks over the 16 base-pair
-    # planes + pair-bucket starts — one rank advances the backward search
-    # two characters (halves the dependent-gather chain, the hot path's
-    # latency bound on v5e)
+    # k-step search tiers (optional): rank blocks over the 16 base-pair /
+    # 64 base-triple planes + k-mer bucket starts — one rank advances the
+    # backward search k characters, dividing the dependent-gather chain
+    # (the hot path's latency bound on v5e) by k.  The triple tier costs
+    # 16 B/sym of HBM, so it is auto-enabled only for smaller indexes.
     rank2_blocks: np.ndarray | None = None  # uint32 [16, NB+1, row_words]
     C2: np.ndarray | None = None            # int64 [16]
+    rank3_blocks: np.ndarray | None = None  # uint32 [64, NB+1, row_words]
+    C3: np.ndarray | None = None            # int64 [64]
 
     @property
     def num_blocks(self) -> int:
@@ -130,7 +136,11 @@ def build_index(
     fast_resolve: bool = True,
     sample_rate: int = 32,
     pair_rank: bool = True,
+    kstep: int | None = None,
 ) -> PackedIndex:
+    """``kstep`` picks the deepest k-step search tier to build (1, 2, or
+    3); None auto-selects 3 below :data:`TRIPLE_TIER_MAX_N` (the 64-plane
+    table is 16 B/sym), else 2.  ``pair_rank=False`` forces 1."""
     config = config or IndexConfig()
     codes = [
         r if isinstance(r, np.ndarray) else alphabet.encode(r) for r in reads
@@ -159,21 +169,30 @@ def build_index(
     rank_blocks, C, counts = packing.pack_rank_blocks(bwt, config)
     sym4 = packing.pack_sym4(bwt)
 
+    if kstep is None:
+        kstep = 3 if (pair_rank and n <= TRIPLE_TIER_MAX_N) else 2
+    if not pair_rank:
+        kstep = 1
     lf = mark_rank = sample_pairs = None
-    rank2_blocks = C2 = None
+    rank2_blocks = C2 = rank3_blocks = C3 = None
     srate = 0
-    if fast_resolve or pair_rank:
+    if fast_resolve or kstep >= 2:
         try:
             from readserver_tpu.native import compute_lf_native
 
             lf = compute_lf_native(bwt, C)
         except Exception:
             lf = packing.compute_lf(bwt, C)
-    if pair_rank:
+    if kstep >= 2:
         pair = packing.pair_codes_from_lf(bwt, lf)
         rank2_blocks, _ = packing.pack_plane_blocks(pair, 16, config)
         C2 = packing.pair_C2(rank_blocks, C, config)
         del pair
+    if kstep >= 3:
+        triple = packing.triple_codes_from_lf(bwt, lf)
+        rank3_blocks, _ = packing.pack_plane_blocks(triple, 64, config)
+        C3 = packing.kgram_starts(rank_blocks, C, config, 3)
+        del triple
     if fast_resolve:
         # per-read text-position sampling: mark rows whose suffix offset is
         # a positive multiple of sample_rate (offset-0 rows are $-terminal
@@ -236,4 +255,6 @@ def build_index(
         sample_rate=srate,
         rank2_blocks=rank2_blocks,
         C2=C2,
+        rank3_blocks=rank3_blocks,
+        C3=C3,
     )

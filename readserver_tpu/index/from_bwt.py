@@ -157,6 +157,7 @@ def pack_from_bwt(
     fast_resolve: bool = True,
     sample_rate: int = 32,
     pair_rank: bool = True,
+    kstep: int | None = None,
 ) -> PackedIndex:
     """Pack device arrays from a BWT plus explicit read metadata."""
     config = config or IndexConfig()
@@ -171,15 +172,26 @@ def pack_from_bwt(
     read_to_sample = np.asarray(read_to_sample, dtype=np.int32)
     num_samples = int(read_to_sample.max()) + 1 if m else 0
 
+    from readserver_tpu.index.builder import TRIPLE_TIER_MAX_N
+
+    if kstep is None:
+        kstep = 3 if (pair_rank and len(bwt) <= TRIPLE_TIER_MAX_N) else 2
+    if not pair_rank:
+        kstep = 1
     lf = mark_rank = sample_pairs = None
-    rank2_blocks = C2 = None
+    rank2_blocks = C2 = rank3_blocks = C3 = None
     srate = 0
-    lf0 = plain_lf(bwt, C) if (fast_resolve or pair_rank) else None
-    if pair_rank:
+    lf0 = plain_lf(bwt, C) if (fast_resolve or kstep >= 2) else None
+    if kstep >= 2:
         pair = packing.pair_codes_from_lf(bwt, lf0)
         rank2_blocks, _ = packing.pack_plane_blocks(pair, 16, config)
         C2 = packing.pair_C2(rank_blocks, C, config)
         del pair
+    if kstep >= 3:
+        triple = packing.triple_codes_from_lf(bwt, lf0)
+        rank3_blocks, _ = packing.pack_plane_blocks(triple, 64, config)
+        C3 = packing.kgram_starts(rank_blocks, C, config, 3)
+        del triple
     if fast_resolve:
         lf, mark_rank, sample_pairs = _fast_resolve_from_lf(
             lf0, np.asarray(read_lengths), config, sample_rate
@@ -209,6 +221,8 @@ def pack_from_bwt(
         sample_rate=srate,
         rank2_blocks=rank2_blocks,
         C2=C2,
+        rank3_blocks=rank3_blocks,
+        C3=C3,
     )
 
 

@@ -149,7 +149,8 @@ def compute_lf(bwt: np.ndarray, C: np.ndarray, chunk: int = 1 << 24) -> np.ndarr
     return lf
 
 
-PAIR_INVALID = 16  # pair code for rows whose 2-char context crosses a $
+PAIR_INVALID = 16    # pair code for rows whose 2-char context crosses a $
+TRIPLE_INVALID = 64  # 3-mer code for rows whose 3-char context crosses a $
 
 
 def pair_codes_from_lf(bwt: np.ndarray, lf: np.ndarray) -> np.ndarray:
@@ -169,23 +170,48 @@ def pair_codes_from_lf(bwt: np.ndarray, lf: np.ndarray) -> np.ndarray:
     return np.where(valid, pair, PAIR_INVALID).astype(np.uint8)
 
 
+def triple_codes_from_lf(bwt: np.ndarray, lf: np.ndarray) -> np.ndarray:
+    """Per-row 3-mer code for the 3-step rank tier (uint8 [n]).
+
+    Same construction as :func:`pair_codes_from_lf` one LF deeper:
+    ``c3 = BWT[j], c2 = BWT[LF(j)], c1 = BWT[LF²(j))``; code
+    ``(c1-1)*16 + (c2-1)*4 + (c3-1)`` ∈ 0..63, or :data:`TRIPLE_INVALID`
+    when any of the three crosses a ``$`` (suffix offset < 3).
+    """
+    lf = np.asarray(lf, dtype=np.int64)
+    c3 = np.asarray(bwt, dtype=np.int32)
+    c2 = c3[lf]
+    c1 = c3[lf[lf]]
+    valid = (c1 > 0) & (c2 > 0) & (c3 > 0)
+    code = (c1 - 1) * 16 + (c2 - 1) * 4 + (c3 - 1)
+    return np.where(valid, code, TRIPLE_INVALID).astype(np.uint8)
+
+
+def kgram_starts(
+    rank_blocks: np.ndarray, C: np.ndarray, config: IndexConfig, k: int
+) -> np.ndarray:
+    """int64 [4^k]: SA row where each k-mer bucket starts (first char most
+    significant).
+
+    ``start(s) = `` the interval start a 1-step backward search of ``s``
+    reaches, so a k-char step ``l' = Ck[s] + occk(s, l)`` lands exactly
+    where k single steps would.  (k=2 → C2 for the pair tier, k=3 → C3.)
+    """
+    out = np.zeros(4**k, dtype=np.int64)
+    for code in range(4**k):
+        chars = [((code >> (2 * (k - 1 - d))) & 3) + 1 for d in range(k)]
+        l = int(C[chars[-1]])
+        for c in reversed(chars[:-1]):
+            l = int(C[c]) + occ_scalar(rank_blocks, config, c, l)
+        out[code] = l
+    return out
+
+
 def pair_C2(
     rank_blocks: np.ndarray, C: np.ndarray, config: IndexConfig
 ) -> np.ndarray:
-    """int64 [16]: SA row where the 2-mer bucket ``(c1,c2)`` starts.
-
-    ``C2[(c1-1)*4 + (c2-1)] = C[c1] + occ(c1, C[c2])`` — the interval
-    start a 1-step search would reach after the 2-mer's two steps, so a
-    pair step ``l' = C2[s] + occ2(s, l)`` lands exactly where two single
-    steps would.
-    """
-    C2 = np.zeros(16, dtype=np.int64)
-    for c1 in range(1, 5):
-        for c2 in range(1, 5):
-            C2[(c1 - 1) * 4 + (c2 - 1)] = int(C[c1]) + occ_scalar(
-                rank_blocks, config, c1, int(C[c2])
-            )
-    return C2
+    """int64 [16]: SA row where the 2-mer bucket ``(c1,c2)`` starts."""
+    return kgram_starts(rank_blocks, C, config, 2)
 
 
 def occ_scalar(

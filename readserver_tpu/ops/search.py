@@ -174,15 +174,17 @@ def backward_search_pair(
     p: int = 0,
     early_exit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """2-step backward search: one rank gather advances TWO characters.
+    """k-step backward search: one rank gather advances k characters.
 
-    Uses the pair-plane tier (``rank2_rows``/``C2``): for a 2-mer
-    ``s = c1 c2``,  ``l' = C2[s] + occ2(s, l)`` lands exactly where two
-    single steps would, so the dependent-gather chain — the hot path's
-    latency bound on v5e (~16ns per gathered row, flat in table size) —
-    is half as deep.  The k-step FM-index idea, here at k=2; the 16 pair
-    planes cost 3.2× the single-symbol table's HBM, which measured as
-    free (gather rate is issue-bound, not cache-bound).
+    Uses the deepest k-mer-plane tier the index carries (``rank3_rows``/
+    ``C3`` triples, then ``rank2_rows``/``C2`` pairs, then singles): for a
+    k-mer ``s``, ``l' = Ck[s] + occk(s, l)`` lands exactly where k single
+    steps would, dividing the dependent-gather chain — the hot path's
+    latency bound on v5e (~14ns per gathered 16B row, flat in table
+    size) — by k.  The k-step FM-index idea; the 4^k planes cost
+    4^k/4 B/sym of HBM, which measured as free for throughput (gather
+    rate is issue-bound, not cache-bound), so tier depth is capped by
+    capacity only (see ``builder.TRIPLE_TIER_MAX_N``).
 
     Restricted to uniform full-width batches (every query length == K,
     which is how the dispatcher pads batches anyway); the engine routes
@@ -197,15 +199,48 @@ def backward_search_pair(
     if index.rank2_rows is None:
         raise ValueError("index was built without the pair-rank tier")
 
-    def rank2(pc, i):
-        return rank_ops.occ_rows(
-            index.rank2_rows,
-            pc,
-            i,
-            rows_per_symbol=index.rows_per_symbol,
-            log2_block=index.log2_block,
-            words_per_block=index.words_per_block,
-        )
+    def make_apply(table, starts):
+        def apply(l, u, code):
+            active = l < u
+            occ2 = rank_ops.occ_rows(
+                table,
+                jnp.concatenate([code, code]),
+                jnp.concatenate([l, u]),
+                rows_per_symbol=index.rows_per_symbol,
+                log2_block=index.log2_block,
+                words_per_block=index.words_per_block,
+            )
+            base = jnp.take(starts, code)
+            return (
+                jnp.where(active, base + occ2[:B], l),
+                jnp.where(active, base + occ2[B:], u),
+            )
+
+        return apply
+
+    def run_steps(l, u, steps, apply):
+        nsteps = steps.shape[0]
+        if not nsteps:
+            return l, u
+        if early_exit:
+            def cond(state):
+                t, l, u = state
+                return (t < nsteps) & jnp.any(l < u)
+
+            def body(state):
+                t, l, u = state
+                code = jax.lax.dynamic_index_in_dim(steps, t, keepdims=False)
+                l, u = apply(l, u, code)
+                return t + 1, l, u
+
+            _, l, u = jax.lax.while_loop(cond, body, (jnp.int32(0), l, u))
+            return l, u
+
+        def step(carry, code):
+            return apply(*carry, code), None
+
+        (l, u), _ = jax.lax.scan(step, (l, u), steps)
+        return l, u
 
     if lut is not None and p:
         rows = jnp.take(lut, prefix_ids(kmers, p), axis=0)
@@ -217,43 +252,30 @@ def backward_search_pair(
         u = jnp.take(index.C, c_last + 1)
         r = K - 1
 
-    sub = kmers[:, :r]
-    odd = r % 2
-    if odd:
-        single_col = sub[:, 0]
-        sub = sub[:, 1:]
-    npairs = sub.shape[1] // 2
+    # greedy schedule: 3-char steps while the tier exists, then one 2- or
+    # 1-char step for the remainder (leftover columns sit at the LEFT —
+    # the pattern's first characters — and run last)
+    ntriples = r // 3 if index.rank3_rows is not None else 0
+    rem = r - 3 * ntriples
+    if ntriples:
+        sub3 = kmers[:, rem:r]
+        codes3 = (
+            (sub3[:, 0::3] - 1) * 16
+            + (sub3[:, 1::3] - 1) * 4
+            + (sub3[:, 2::3] - 1)
+        )
+        l, u = run_steps(
+            l, u, jnp.flip(codes3.T, axis=0), make_apply(index.rank3_rows, index.C3)
+        )
+    npairs = rem // 2
     if npairs:
-        pcs = (sub[:, 0::2] - 1) * 4 + (sub[:, 1::2] - 1)   # [B, npairs]
-        steps = jnp.flip(pcs.T, axis=0)                      # right-to-left
-
-        def apply(l, u, pc):
-            active = l < u
-            occ2 = rank2(jnp.concatenate([pc, pc]), jnp.concatenate([l, u]))
-            base = jnp.take(index.C2, pc)
-            l = jnp.where(active, base + occ2[:B], l)
-            u = jnp.where(active, base + occ2[B:], u)
-            return l, u
-
-        if early_exit:
-            def cond(state):
-                t, l, u = state
-                return (t < npairs) & jnp.any(l < u)
-
-            def body(state):
-                t, l, u = state
-                pc = jax.lax.dynamic_index_in_dim(steps, t, keepdims=False)
-                l, u = apply(l, u, pc)
-                return t + 1, l, u
-
-            _, l, u = jax.lax.while_loop(cond, body, (jnp.int32(0), l, u))
-        else:
-            def step(carry, pc):
-                l, u = apply(*carry, pc)
-                return (l, u), None
-
-            (l, u), _ = jax.lax.scan(step, (l, u), steps)
-    if odd:
+        sub2 = kmers[:, rem % 2 : rem]
+        codes2 = (sub2[:, 0::2] - 1) * 4 + (sub2[:, 1::2] - 1)
+        l, u = run_steps(
+            l, u, jnp.flip(codes2.T, axis=0), make_apply(index.rank2_rows, index.C2)
+        )
+    if rem % 2:
+        single_col = kmers[:, 0]
         active = l < u
         occ2 = rank_ops.occ(
             index,

@@ -35,10 +35,12 @@ class DeviceIndex:
     lf: jax.Array | None = None           # int32 [n]; sign bit = sampled row
     mark_rank: jax.Array | None = None    # uint32 [NB+1, row_words]
     sample_pairs: jax.Array | None = None # int32 [n_marked, 2]
-    # 2-step search tier (None when built without it): pair-plane rank
-    # table + 2-mer bucket starts — one gather advances two characters
+    # k-step search tiers (None when built without them): pair/triple
+    # plane rank tables + k-mer bucket starts — one gather advances k chars
     rank2_rows: jax.Array | None = None   # uint32 [16*(NB+1), row_words]
     C2: jax.Array | None = None           # int32 [16]
+    rank3_rows: jax.Array | None = None   # uint32 [64*(NB+1), row_words]
+    C3: jax.Array | None = None           # int32 [64]
     # static metadata
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
     num_reads: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -100,6 +102,20 @@ class DeviceIndex:
                 if packed.C2 is not None
                 else None
             ),
+            rank3_rows=(
+                put(
+                    np.ascontiguousarray(
+                        packed.rank3_blocks.reshape(-1, cfg.row_words)
+                    )
+                )
+                if packed.rank3_blocks is not None
+                else None
+            ),
+            C3=(
+                put(np.asarray(packed.C3, dtype=np.int32))
+                if packed.C3 is not None
+                else None
+            ),
             n=int(packed.n),
             num_reads=int(packed.num_reads),
             num_samples=int(packed.num_samples),
@@ -131,6 +147,8 @@ jax.tree_util.register_dataclass(
         "sample_pairs",
         "rank2_rows",
         "C2",
+        "rank3_rows",
+        "C3",
     ],
     meta_fields=[
         "n",

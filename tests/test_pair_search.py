@@ -29,6 +29,7 @@ from readserver_tpu.ops import (
 def setup(tiny_corpus):
     packed = build_index(tiny_corpus.reads, sample_ids=tiny_corpus.sample_ids)
     assert packed.rank2_blocks is not None and packed.C2 is not None
+    assert packed.rank3_blocks is not None and packed.C3 is not None
     return tiny_corpus, packed, DeviceIndex.from_packed(packed)
 
 
@@ -98,20 +99,19 @@ def test_pair_tier_round_trips(setup, tmp_path):
     corpus, packed, dev = setup
     artifact.save_artifact(packed, tmp_path / "idx")
     back = artifact.load_artifact(tmp_path / "idx", mmap=False)
-    assert np.array_equal(back.rank2_blocks, packed.rank2_blocks)
-    assert np.array_equal(back.C2, packed.C2)
+    for f in ("rank2_blocks", "C2", "rank3_blocks", "C3"):
+        assert np.array_equal(getattr(back, f), getattr(packed, f)), f
 
-    # merge + from-bwt preserve the tier bit-for-bit vs a direct build
+    # merge + from-bwt preserve the tiers bit-for-bit vs a direct build
     half = len(corpus.reads) // 2
     merged = merge_indexes_interleave(
         [build_index(corpus.reads[:half]), build_index(corpus.reads[half:])]
     )
     direct = build_index(corpus.reads)
-    assert np.array_equal(merged.rank2_blocks, direct.rank2_blocks)
-    assert np.array_equal(merged.C2, direct.C2)
     imported = index_from_bwt(unpack_sym4(direct.sym4, direct.n))
-    assert np.array_equal(imported.rank2_blocks, direct.rank2_blocks)
-    assert np.array_equal(imported.C2, direct.C2)
+    for f in ("rank2_blocks", "C2", "rank3_blocks", "C3"):
+        assert np.array_equal(getattr(merged, f), getattr(direct, f)), f
+        assert np.array_equal(getattr(imported, f), getattr(direct, f)), f
 
 
 @pytest.mark.parametrize("miss", [0.0, 0.5, 1.0])
@@ -147,8 +147,38 @@ def test_early_exit_mixed_lengths(setup):
 
 def test_pair_absent_raises(tiny_corpus):
     packed = build_index(tiny_corpus.reads[:50], pair_rank=False)
-    assert packed.rank2_blocks is None
+    assert packed.rank2_blocks is None and packed.rank3_blocks is None
     dev = DeviceIndex.from_packed(packed)
     codes, _ = encode_query_batch(["ACGT"], 4)
     with pytest.raises(ValueError):
         backward_search_pair(dev, codes)
+
+
+@pytest.mark.parametrize("k", [31, 30, 29, 4, 3])
+def test_kstep2_only_matches(setup, k):
+    """pair-only index (kstep=2): remainder schedule without triples."""
+    corpus, packed, dev = setup
+    p2 = build_index(corpus.reads, kstep=2)
+    assert p2.rank3_blocks is None and p2.rank2_blocks is not None
+    dev2 = DeviceIndex.from_packed(p2)
+    codes, lengths = _batch(corpus, 24, min(k, corpus.spec.kmer_len), seed=k)
+    l1, u1 = jax.jit(backward_search)(dev2, codes, lengths)
+    l2, u2 = jax.jit(backward_search_pair)(dev2, codes)
+    l3, u3 = jax.jit(backward_search_pair)(dev, codes)  # triple tier
+    _assert_equiv(l1, u1, l2, u2)
+    _assert_equiv(l1, u1, l3, u3)
+
+
+def test_triple_codes_invalid_rows(setup):
+    from readserver_tpu.index.packing import (
+        TRIPLE_INVALID,
+        compute_lf,
+        triple_codes_from_lf,
+    )
+
+    corpus, packed, dev = setup
+    bwt = unpack_sym4(packed.sym4, packed.n)
+    lf = compute_lf(bwt, packed.C)
+    triple = triple_codes_from_lf(bwt, lf)
+    # invalid exactly on suffix-offset-<3 rows: 3 per read
+    assert int((triple == TRIPLE_INVALID).sum()) == 3 * packed.num_reads
