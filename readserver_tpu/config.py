@@ -84,6 +84,10 @@ class ServeConfig:
     # steps once every interval is empty — wins on miss-heavy workloads
     # (e.g. contamination screens), costs one any-reduce per step otherwise
     early_exit: bool = False
+    # HBM budget (GiB) for the tier planner (index/budget.py): None =
+    # auto-detect from the device (no cap on the CPU test mesh); tiers the
+    # artifact carries are dropped in value order until the index fits
+    hbm_budget_gb: float | None = None
     host: str = "127.0.0.1"
     port: int = 8080
     num_shards: int = 1            # BWT-interval shards (mesh 'shard' axis)

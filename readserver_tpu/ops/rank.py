@@ -68,6 +68,33 @@ def occ(index: DeviceIndex, c: jax.Array, i: jax.Array) -> jax.Array:
     )
 
 
+def bit_rank_and_test(
+    table: jax.Array,
+    i: jax.Array,
+    *,
+    log2_block: int,
+    words_per_block: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-bitvector rank + membership in ONE row gather.
+
+    ``table`` is a ``pack_bit_rank`` layout (uint32 [NB+1, row_words]).
+    Returns ``(rank int32 [B], bit bool [B])`` where ``rank`` counts set
+    bits strictly before position ``i`` and ``bit`` is the bit AT ``i``.
+    Used by the mark-walk resolve: the same gathered row answers both
+    "is this row sampled?" and "which sampled slot is it?".
+    """
+    block = i >> log2_block
+    within = i - (block << log2_block)
+    rows = jnp.take(table, block, axis=0)
+    base = rows[:, 0].astype(jnp.int32)
+    rank = base + _inblock_count(rows, within, words_per_block)
+    word = jnp.take_along_axis(
+        rows, (1 + (within >> 5))[:, None], axis=1
+    )[:, 0]
+    bit = ((word >> (within & 31).astype(_U32)) & _U32(1)) != 0
+    return rank, bit
+
+
 def read_symbol(index: DeviceIndex, i: jax.Array) -> jax.Array:
     """BWT symbol code at positions ``i`` (int32 [B]) via the 4-bit pack."""
     word = jnp.take(index.sym4, i >> 3, axis=0)

@@ -162,6 +162,63 @@ def resolve_rows_fast(
     return rid, off
 
 
+def resolve_rows_marked(
+    index: DeviceIndex,
+    rows: jax.Array,      # int32 [R] starting SA rows
+    valid: jax.Array,     # bool  [R]
+) -> tuple[jax.Array, jax.Array]:
+    """Mark-walk resolve: the bounded (≤ sample_rate steps) walk WITHOUT
+    the 4 B/sym ``lf`` array.
+
+    The HBM budgeter (index/budget.py) drops ``lf`` first at chr20+ scale;
+    this path keeps the walk bound using only the mark tier (0.75 B/sym):
+    per step one sym4 gather (symbol), one rank-row gather (the LF step),
+    and one mark-row gather (terminal test + slot rank, fused by
+    :func:`rank_ops.bit_rank_and_test`) — 3 gathers/step vs the lf path's
+    1 and the unbounded slow walk's 2 × max_read_len.
+    """
+    assert index.mark_rank is not None and index.sample_rate > 0
+    C = index.C
+    kw = dict(
+        log2_block=index.log2_block, words_per_block=index.words_per_block
+    )
+
+    def body(t, state):
+        cur, done, steps = state
+        c = rank_ops.read_symbol(index, cur)
+        _, marked = rank_ops.bit_rank_and_test(index.mark_rank, cur, **kw)
+        is_term = marked | (c == 0)
+        o = rank_ops.occ(index, c, cur)
+        step_now = ~done & ~is_term
+        cur = jnp.where(step_now, jnp.take(C, c) + o, cur)
+        steps = steps + step_now.astype(jnp.int32)
+        done = done | is_term
+        return cur, done, steps
+
+    state = (jnp.where(valid, rows, 0), ~valid, rows * 0)
+    cur, done, steps = jax.lax.fori_loop(0, index.sample_rate, body, state)
+
+    # terminal lookup: marked row → sampled (read_id, offset) pair;
+    # $-row (BWT[cur] == 0) → occ(0, cur) IS the $-rank
+    slot, marked = rank_ops.bit_rank_and_test(index.mark_rank, cur, **kw)
+    o0 = rank_ops.occ(index, jnp.zeros_like(cur), cur)
+    rid_d = jnp.take(
+        index.dollar_map,
+        jnp.clip(o0, 0, max(index.dollar_map.shape[0] - 1, 0)),
+    )
+    n_marked = index.sample_pairs.shape[0]
+    pair = jnp.take(
+        index.sample_pairs,
+        jnp.clip(slot, 0, max(n_marked - 1, 0)),
+        axis=0,
+    )
+    rid = jnp.where(marked, pair[:, 0], rid_d)
+    off = jnp.where(marked, pair[:, 1] + steps, steps)
+    rid = jnp.where(valid & done, rid, -1)
+    off = jnp.where(valid & done, off, -1)
+    return rid, off
+
+
 def resolve_intervals(
     index: DeviceIndex,
     l: jax.Array,
@@ -183,10 +240,18 @@ def resolve_intervals(
     rows, valid, _ = expand_intervals(l, u, max_hits)
     if use_fast is None:
         use_fast = index.lf is not None and index.sample_rate > 0
+    use_marked = (
+        not use_fast
+        and index.lf is None
+        and index.mark_rank is not None
+        and index.sample_rate > 0
+    )
 
     def walk(r, v):
         if use_fast:
             return resolve_rows_fast(index, r, v)
+        if use_marked:
+            return resolve_rows_marked(index, r, v)
         return resolve_rows(index, r, v, **kw)
 
     B = l.shape[0]

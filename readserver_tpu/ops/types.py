@@ -61,8 +61,15 @@ class DeviceIndex:
 
     @classmethod
     def from_packed(
-        cls, packed: PackedIndex, device: jax.Device | None = None
+        cls,
+        packed: PackedIndex,
+        device: jax.Device | None = None,
+        tiers: frozenset[str] | set[str] | None = None,
     ) -> "DeviceIndex":
+        """``tiers`` (from ``index/budget.plan_tiers``) selects which
+        OPTIONAL tiers ship to HBM: 'marks', 'rank2', 'rank3', 'lf'.
+        ``None`` ships everything the artifact carries.  Dropping a tier
+        only changes gather counts, never answers."""
         cfg: IndexConfig = packed.config
         nb1 = packed.rank_blocks.shape[1]
         rank_rows = np.ascontiguousarray(
@@ -71,7 +78,20 @@ class DeviceIndex:
         if packed.n >= (1 << 31):
             raise ValueError("single-device index must fit int32 positions")
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        has_fr = packed.lf is not None and packed.sample_rate > 0
+
+        def want(t: str) -> bool:
+            return tiers is None or t in tiers
+
+        has_marks = (
+            packed.mark_rank is not None
+            and packed.sample_rate > 0
+            and want("marks")
+        )
+        # the lf fast walk needs the sampled-pair table; lf without marks
+        # has no consumer
+        has_lf = packed.lf is not None and has_marks and want("lf")
+        has_r2 = packed.rank2_blocks is not None and want("rank2")
+        has_r3 = packed.rank3_blocks is not None and want("rank3")
         return cls(
             rank_rows=put(rank_rows),
             sym4=put(np.asarray(packed.sym4, dtype=np.uint32)),
@@ -79,13 +99,15 @@ class DeviceIndex:
             dollar_map=put(np.asarray(packed.dollar_map, dtype=np.int32)),
             read_to_sample=put(np.asarray(packed.read_to_sample, dtype=np.int32)),
             read_lengths=put(np.asarray(packed.read_lengths, dtype=np.int32)),
-            lf=put(np.asarray(packed.lf, dtype=np.int32)) if has_fr else None,
+            lf=put(np.asarray(packed.lf, dtype=np.int32)) if has_lf else None,
             mark_rank=(
-                put(np.ascontiguousarray(packed.mark_rank)) if has_fr else None
+                put(np.ascontiguousarray(packed.mark_rank))
+                if has_marks
+                else None
             ),
             sample_pairs=(
                 put(np.asarray(packed.sample_pairs, dtype=np.int32))
-                if has_fr
+                if has_marks
                 else None
             ),
             rank2_rows=(
@@ -94,28 +116,20 @@ class DeviceIndex:
                         packed.rank2_blocks.reshape(-1, cfg.row_words)
                     )
                 )
-                if packed.rank2_blocks is not None
+                if has_r2
                 else None
             ),
-            C2=(
-                put(np.asarray(packed.C2, dtype=np.int32))
-                if packed.C2 is not None
-                else None
-            ),
+            C2=put(np.asarray(packed.C2, dtype=np.int32)) if has_r2 else None,
             rank3_rows=(
                 put(
                     np.ascontiguousarray(
                         packed.rank3_blocks.reshape(-1, cfg.row_words)
                     )
                 )
-                if packed.rank3_blocks is not None
+                if has_r3
                 else None
             ),
-            C3=(
-                put(np.asarray(packed.C3, dtype=np.int32))
-                if packed.C3 is not None
-                else None
-            ),
+            C3=put(np.asarray(packed.C3, dtype=np.int32)) if has_r3 else None,
             n=int(packed.n),
             num_reads=int(packed.num_reads),
             num_samples=int(packed.num_samples),
@@ -123,7 +137,7 @@ class DeviceIndex:
             block_size=cfg.block_size,
             words_per_block=cfg.words_per_block,
             max_read_len=int(packed.read_lengths.max()) if packed.num_reads else 1,
-            sample_rate=int(packed.sample_rate) if has_fr else 0,
+            sample_rate=int(packed.sample_rate) if has_marks else 0,
         )
 
     def device_bytes(self) -> int:

@@ -191,7 +191,31 @@ class QueryEngine:
                 else None
             )
         else:
-            self.index = DeviceIndex.from_packed(packed)
+            from readserver_tpu.index.budget import (
+                device_budget_bytes,
+                plan_tiers,
+            )
+
+            budget = (
+                int(self.cfg.hbm_budget_gb * 2**30)
+                if self.cfg.hbm_budget_gb is not None
+                else device_budget_bytes()
+            )
+            self.tier_plan = plan_tiers(packed, budget)
+            if self.tier_plan.dropped:
+                import logging
+
+                logging.getLogger("readserver_tpu.engine").warning(
+                    "HBM budget %.2f GiB: shipping %s (%.2f GiB), "
+                    "dropping tiers %s",
+                    (budget or 0) / 2**30,
+                    sorted(self.tier_plan.keep) or ["base only"],
+                    self.tier_plan.total_bytes / 2**30,
+                    list(self.tier_plan.dropped),
+                )
+            self.index = DeviceIndex.from_packed(
+                packed, tiers=self.tier_plan.keep
+            )
             from readserver_tpu.ops import (
                 backward_search_lut,
                 backward_search_pair,
