@@ -59,8 +59,14 @@ def main() -> int:
     ap.add_argument("--lut-order", type=int, default=-1,
                     help="prefix LUT order; -1 = auto, 0 = disabled")
     ap.add_argument("--warmup", type=int, default=4)
+    ap.add_argument("--no-resolve", action="store_true",
+                    help="skip timing the search+resolve+attribution step")
     ap.add_argument("--resolve", action="store_true",
-                    help="also time the search+resolve+attribution step")
+                    help="deprecated (resolve timing is on by default)")
+    ap.add_argument("--parity-queries", type=int, default=256,
+                    help="how many random queries to oracle-check")
+    ap.add_argument("--hbm-budget-gb", type=float, default=0.0,
+                    help="override the detected HBM budget (0 = auto)")
     ap.add_argument("--profile", default="",
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--no-parity", action="store_true",
@@ -94,9 +100,23 @@ def main() -> int:
         print(f"# [{time.time()-T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
     T0 = time.time()
-    index = DeviceIndex.from_packed(packed)
+    # HBM tier budgeting: at chr20-30x scale the full tier set (~20 GB)
+    # exceeds one v5e's 16 GB; the planner drops luxury tiers (answers are
+    # invariant — only gather counts change).  Same logic as serve/engine.
+    from readserver_tpu.index.budget import device_budget_bytes, plan_tiers
+
+    budget = (
+        int(args.hbm_budget_gb * 2**30)
+        if args.hbm_budget_gb > 0
+        else device_budget_bytes()
+    )
+    plan = plan_tiers(packed, budget)
+    index = DeviceIndex.from_packed(packed, tiers=plan.keep)
     jax.block_until_ready(index.rank_rows)
-    mark("index on device")
+    mark(
+        f"index on device ({plan.total_bytes/2**30:.2f} GiB; "
+        f"tiers kept={sorted(plan.keep)} dropped={list(plan.dropped)})"
+    )
     p = default_lut_order(packed.n) if args.lut_order < 0 else args.lut_order
     p = min(p, k)
     t0 = time.time()
@@ -147,6 +167,8 @@ def main() -> int:
     mark("warmup done")
 
     parity_checked = False
+    mat = None
+    parity_queries = 0
     if not args.no_parity:
         # parity self-check before timing (SURVEY.md §4: oracle-diff idiom):
         # LUT path == plain path on one batch, plus naive counts on a few
@@ -161,19 +183,31 @@ def main() -> int:
                 and np.array_equal(u1[ne], u2[ne])):
             print(json.dumps({"error": "fast/plain path mismatch"}))
             return 1
-        if packed.n < 300_000_000:  # naive scan affordable
-            from readserver_tpu.oracle.naive import naive_count_matrix
+        # oracle diff (SURVEY.md §4 idiom, widened): exact counts for a
+        # random query sample via the 2-bit window multiset — one linear
+        # pass + sort over ALL read windows, then binary search per query.
+        # Affordable even at chr20 scale (~1.3G windows, a few minutes).
+        nq = min(args.parity_queries, B)
+        if nq and k <= 31:
+            from readserver_tpu.oracle.naive import window_multiset_counts
+
             mat = np.stack(corpus.reads)
-            counts = np.asarray(u1) - np.asarray(l1)
-            for qi in (0, 1):
-                want = naive_count_matrix(mat, kmers[qi].astype(np.uint8))
-                if int(counts[qi]) != want:
-                    print(json.dumps({"error": f"parity fail q{qi}: "
-                                      f"{int(counts[qi])} != {want}"}))
-                    return 1
-            del mat
+            rng = np.random.default_rng(7)
+            sel = np.sort(rng.choice(B, size=nq, replace=False))
+            want = window_multiset_counts(mat, kmers[sel].astype(np.uint8))
+            got = (np.asarray(u1) - np.asarray(l1))[sel].astype(np.int64)
+            if not np.array_equal(got, want):
+                bad = int(np.flatnonzero(got != want)[0])
+                print(json.dumps({
+                    "error": f"count parity fail q{int(sel[bad])}: "
+                             f"{int(got[bad])} != {int(want[bad])}"
+                }))
+                return 1
+            parity_queries = int(nq)
+        else:
+            mat, parity_queries = None, 0
         parity_checked = True
-        mark("parity self-check passed")
+        mark(f"parity self-check passed ({parity_queries} oracle queries)")
 
     profile_cm = (
         jax.profiler.trace(args.profile) if args.profile else None
@@ -201,29 +235,60 @@ def main() -> int:
     p50_ms = float(np.median(lat) * 1e3)
 
     extras = {}
-    if args.resolve:
+    if not args.no_resolve:
         # full query step (search + LF-resolve + attribution) at a batch
         # size tuned for the resolve row expansion (B*max_hits rows walk)
-        Br, H = 16384, 32
+        Br, H = min(16384, B), 32
         from readserver_tpu.ops import sample_histogram
 
         def _res(idx, km, ln):
             l, u = backward_search(idx, km, ln)
             rid, off, valid = resolve_intervals(idx, l, u, max_hits=H)
-            return u - l, rid, off, sample_histogram(idx, rid, valid)
+            return u - l, rid, off, valid, sample_histogram(idx, rid, valid)
 
         res_fn = jax.jit(_res)
         rb = [b[:Br] for b in batches]
         rlen = lengths_d[:Br]
         mark("resolve path compiling")
-        np.asarray(res_fn(index, rb[0], rlen)[0])
+        first = res_fn(index, rb[0], rlen)
+        np.asarray(first[0])
+        if mat is not None:
+            # hit-level parity: every resolved (read_id, offset) must spell
+            # the query k-mer in the raw reads, and fully-enumerated queries
+            # (count <= max_hits) must yield exactly `count` distinct hits
+            cnt, rid, off, val = (np.asarray(x) for x in first[:4])
+            rng = np.random.default_rng(11)
+            for qi in rng.choice(Br, size=min(64, Br), replace=False):
+                v = val[qi]
+                if int(cnt[qi]) <= H and int(v.sum()) != int(cnt[qi]):
+                    print(json.dumps({"error": f"resolve hit count q{qi}"}))
+                    return 1
+                r, o = rid[qi][v], off[qi][v]
+                if len(r) and (
+                    (r < 0).any()
+                    or len(set(zip(r.tolist(), o.tolist()))) != len(r)
+                    or not all(
+                        np.array_equal(
+                            mat[ri, oi : oi + k], kmers[qi].astype(np.uint8)
+                        )
+                        for ri, oi in zip(r.tolist(), o.tolist())
+                    )
+                ):
+                    print(json.dumps({"error": f"resolve parity fail q{qi}"}))
+                    return 1
+            mark("resolve hit parity passed (64 queries)")
         mark("resolve path timing")
         t2 = time.perf_counter()
         NR = 8
         outs = [res_fn(index, rb[i % len(rb)], rlen) for i in range(NR)]
-        total = np.asarray(jnp.stack([o[0] for o in outs]).sum())
+        jax.block_until_ready(outs)
         extras["resolve_queries_per_s"] = round(Br * NR / (time.perf_counter() - t2))
-        extras["resolve_fast_path"] = bool(index.lf is not None)
+        extras["resolve_walk"] = (
+            "lf" if index.lf is not None
+            else "marks" if index.mark_rank is not None
+            else "slow"
+        )
+    del mat
 
     result = {
         "metric": "kmer_backward_searches_per_s_per_chip",
@@ -240,6 +305,9 @@ def main() -> int:
         "pair_rank": use_pair,
         "kstep": (3 if index.rank3_rows is not None else 2) if use_pair else 1,
         "parity_checked": parity_checked,
+        "parity_queries": parity_queries,
+        "tiers_kept": sorted(plan.keep),
+        "tiers_dropped": list(plan.dropped),
         "device": dev_kind,
         **extras,
     }

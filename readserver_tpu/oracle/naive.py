@@ -47,6 +47,51 @@ def naive_count_matrix(reads_matrix: np.ndarray, kmer) -> int:
     return total
 
 
+def encode_windows_2bit(reads_matrix: np.ndarray, k: int) -> np.ndarray:
+    """All length-``k`` windows of an equal-length read matrix, 2-bit packed
+    into uint64 (exact — not a hash: 2 bits/base × k ≤ 31 = 62 bits).
+
+    Returns uint64 [m, L-k+1]; window ``(r, o)`` encodes
+    ``Σ_j (mat[r, o+j] - 1) << 2j``.  Codes must be bases 1..4.
+    """
+    if k > 31:
+        raise ValueError("2-bit packing supports k <= 31")
+    m, L = reads_matrix.shape
+    nw = L - k + 1
+    if nw <= 0:
+        return np.zeros((m, 0), dtype=np.uint64)
+    out = np.zeros((m, nw), dtype=np.uint64)
+    for j in range(k):
+        out |= (reads_matrix[:, j : j + nw].astype(np.uint64) - 1) << np.uint64(
+            2 * j
+        )
+    return out
+
+
+def window_multiset_counts(
+    reads_matrix: np.ndarray, queries: np.ndarray
+) -> np.ndarray:
+    """Exact occurrence counts for many query k-mers at once.
+
+    Builds the sorted multiset of ALL 2-bit-packed read windows (one pass +
+    one in-place sort) and answers each query with two binary searches —
+    the bench-scale widening of the oracle-diff idiom (SURVEY.md §4):
+    hundreds of parity queries at chr20 scale cost minutes, not hours.
+
+    ``queries``: uint8 [Q, k] base codes.  Returns int64 [Q].
+    """
+    q = np.asarray(queries)
+    k = q.shape[1]
+    win = encode_windows_2bit(reads_matrix, k).ravel()
+    win.sort()  # in-place: no second 8-byte-per-window copy at chr20 scale
+    enc = np.zeros(q.shape[0], dtype=np.uint64)
+    for j in range(k):
+        enc |= (q[:, j].astype(np.uint64) - 1) << np.uint64(2 * j)
+    lo = np.searchsorted(win, enc, side="left")
+    hi = np.searchsorted(win, enc, side="right")
+    return (hi - lo).astype(np.int64)
+
+
 def naive_find_reads(
     reads: Sequence[np.ndarray | str | bytes], kmer
 ) -> list[tuple[int, int]]:

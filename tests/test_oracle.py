@@ -89,3 +89,35 @@ def test_alphabet_roundtrip(rng):
 def test_encode_rejects_bad_chars():
     with pytest.raises(ValueError):
         alphabet.encode("ACGTN")
+
+
+def test_window_multiset_counts_matches_naive(rng):
+    from readserver_tpu.oracle.naive import (
+        naive_count_matrix,
+        window_multiset_counts,
+    )
+
+    m, L, k = 50, 40, 9
+    mat = rng.integers(1, 5, size=(m, L)).astype(np.uint8)
+    qs = []
+    for i in range(32):
+        if i % 3 == 0:  # absent-likely random k-mer
+            qs.append(rng.integers(1, 5, size=k).astype(np.uint8))
+        else:  # present k-mer drawn from a read
+            r, o = int(rng.integers(0, m)), int(rng.integers(0, L - k + 1))
+            qs.append(mat[r, o : o + k].copy())
+    q = np.stack(qs)
+    got = window_multiset_counts(mat, q)
+    want = np.array([naive_count_matrix(mat, qi) for qi in q])
+    assert np.array_equal(got, want)
+
+
+def test_window_multiset_counts_k31_boundary(rng):
+    from readserver_tpu.oracle.naive import window_multiset_counts
+
+    mat = rng.integers(1, 5, size=(8, 31)).astype(np.uint8)
+    # k == L: exactly one window per read; query each read in full
+    got = window_multiset_counts(mat, mat)
+    for i in range(8):
+        want = int((mat == mat[i]).all(axis=1).sum())
+        assert int(got[i]) == want
