@@ -176,11 +176,8 @@ def main() -> int:
         l2, u2 = jax.jit(backward_search)(index, batches[0], lengths_d)
         l1, u1 = np.asarray(l1), np.asarray(u1)
         l2, u2 = np.asarray(l2), np.asarray(u2)
-        ne = (u2 - l2) > 0  # empty intervals: counts must agree (bounds
-        # freeze at different step granularity on the pair path)
-        if not (np.array_equal(u1 - l1, u2 - l2)
-                and np.array_equal(l1[ne], l2[ne])
-                and np.array_equal(u1[ne], u2[ne])):
+        # bit-identical including empties (canonical (0,0) on every path)
+        if not (np.array_equal(l1, l2) and np.array_equal(u1, u2)):
             print(json.dumps({"error": "fast/plain path mismatch"}))
             return 1
         # oracle diff (SURVEY.md §4 idiom, widened): exact counts for a

@@ -46,6 +46,16 @@ def main() -> int:
             widths.append(d)
         d *= 2
 
+    from readserver_tpu.parallel.stats import (
+        collective_stats,
+        query_psum_estimate,
+    )
+
+    kstep = (
+        3 if packed.rank3_blocks is not None
+        else 2 if packed.rank2_blocks is not None
+        else 1
+    )
     reference = None
     results = []
     for shards in widths:
@@ -65,15 +75,34 @@ def main() -> int:
         else:
             assert np.array_equal(counts, reference[0]), f"shards={shards}"
             assert np.array_equal(hits, reference[1]), f"shards={shards}"
+        # collective accounting: HLO-emitted ops (static) + analytic
+        # per-batch psum count (dynamic) — shard-scaling regressions show
+        # up here before they show up as wall-clock
+        coll = collective_stats(qfn, sidx, lut, codes, lengths)
+        est = query_psum_estimate(
+            k, lut_p=p, kstep=kstep,
+            sample_rate=sidx.sample_rate,
+            fast_resolve=sidx.has_fast_resolve,
+            max_read_len=sidx.max_read_len,
+        )
         results.append(
             dict(
                 dp=dp,
                 shards=shards,
                 first_run_s=round(time.perf_counter() - t0, 2),
                 parity="exact",
+                kstep=kstep,
+                hlo_collectives=coll,
+                psums_per_batch=est,
             )
         )
-        print(f"# mesh(dp={dp}, shard={shards}): parity exact", file=sys.stderr)
+        print(
+            f"# mesh(dp={dp}, shard={shards}): parity exact; "
+            f"kstep={kstep} psums/batch={est['total']} "
+            f"(search {est['search']} + resolve {est['resolve']}); "
+            f"hlo all-reduce sites={coll['all-reduce']}",
+            file=sys.stderr,
+        )
     print(json.dumps({"scaling_sim": results, "devices": n_dev}))
     return 0
 

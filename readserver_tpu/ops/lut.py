@@ -56,6 +56,9 @@ def build_prefix_lut(index: DeviceIndex, p: int) -> jax.Array:
     for _ in range(p - 1):
         l, u = _extend_level(index, l, u, size)
         size *= 4
+    from readserver_tpu.ops.search import canonical_empty
+
+    l, u = canonical_empty(l, u)  # absent p-mers: (0, 0), like every path
     return jnp.stack([l, u], axis=1)
 
 

@@ -112,6 +112,20 @@ def _scan_steps(
     return l, u
 
 
+def canonical_empty(l: jax.Array, u: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Normalize empty intervals to ``(0, 0)``.
+
+    An empty interval's frozen bounds depend on step granularity (the
+    1/2/3-char tiers die at different steps), so bounds would otherwise
+    fall outside the parity contract for misses.  Every search output —
+    device, sharded, oracle — passes through this normalization, making
+    interval bounds exactly comparable for ALL queries.
+    """
+    empty = l >= u
+    zero = jnp.zeros_like(l)
+    return jnp.where(empty, zero, l), jnp.where(empty, zero, u)
+
+
 def backward_search(
     index: DeviceIndex,
     kmers: jax.Array,     # int32 [B, K], codes 1..4 RIGHT-aligned, 0 padding
@@ -121,7 +135,8 @@ def backward_search(
 ) -> tuple[jax.Array, jax.Array]:
     """→ half-open interval ``(l, u)`` per query, int32 [B] each.
 
-    ``count = u - l`` (occ monotonicity keeps ``l <= u`` throughout).
+    ``count = u - l`` (occ monotonicity keeps ``l <= u`` throughout);
+    empty intervals come out as the canonical ``(0, 0)``.
     """
     B, K = kmers.shape
     if rank_fn is None:
@@ -135,9 +150,10 @@ def backward_search(
     c_last = kmers[:, K - 1]
     l = jnp.take(index.C, c_last)
     u = jnp.take(index.C, c_last + 1)
-    return _scan_steps(
+    l, u = _scan_steps(
         index, rank_fn, kmers, lengths, l, u, K - 1, early_exit=early_exit
     )
+    return canonical_empty(l, u)
 
 
 def prefix_ids(kmers: jax.Array, p: int) -> jax.Array:
@@ -164,7 +180,8 @@ def backward_search_lut(
             return rank_ops.occ(index, c, i)
     rows = jnp.take(lut, prefix_ids(kmers, p), axis=0)        # [B, 2]
     l, u = rows[:, 0], rows[:, 1]
-    return _scan_steps(index, rank_fn, kmers, lengths, l, u, K - p)
+    l, u = _scan_steps(index, rank_fn, kmers, lengths, l, u, K - p)
+    return canonical_empty(l, u)
 
 
 def backward_search_pair(
@@ -190,10 +207,9 @@ def backward_search_pair(
     which is how the dispatcher pads batches anyway); the engine routes
     mixed-length batches to the masked 1-step path.
 
-    Equivalence contract vs :func:`backward_search`: counts are equal for
-    every query; NON-EMPTY intervals are bit-identical.  Queries that die
-    mid-search freeze at pair (not char) granularity, so the frozen (and
-    meaningless) bounds of an empty interval may differ.
+    Equivalence contract vs :func:`backward_search`: bit-identical — the
+    k-step tiers land exactly where k single steps would, and empty
+    intervals normalize to the canonical ``(0, 0)`` on every path.
     """
     B, K = kmers.shape
     if index.rank2_rows is None:
@@ -285,7 +301,7 @@ def backward_search_pair(
         base = jnp.take(index.C, single_col)
         l = jnp.where(active, base + occ2[:B], l)
         u = jnp.where(active, base + occ2[B:], u)
-    return l, u
+    return canonical_empty(l, u)
 
 
 def interval_counts(l: jax.Array, u: jax.Array) -> jax.Array:

@@ -157,7 +157,12 @@ class OracleFMIndex:
             l = int(self.C[c]) + self.occ(c, l)
             u = int(self.C[c]) + self.occ(c, u)
             if l >= u:
-                return l, l
+                # canonical empty interval: (0, 0).  Interval bounds are
+                # part of the parity contract (BASELINE.json:5) but an
+                # empty interval's frozen bounds depend on step
+                # granularity (1/2/3-char tiers freeze at different
+                # points), so every search path normalizes empties.
+                return 0, 0
         return l, u
 
     def count(self, kmer: np.ndarray | str) -> int:

@@ -59,6 +59,14 @@ class ShardedIndex:
     spairs_chunk: jax.Array | None = None  # int32 [S, smax, 2]
     sstarts: jax.Array | None = None       # int64 [S]
     slens: jax.Array | None = None         # int64 [S]
+    # k-step search tiers (optional, same planes as DeviceIndex but
+    # shard-local): one clamped-psum rank over the pair/triple planes
+    # advances the whole batch 2/3 characters — the single-chip hot-path
+    # treatment (ops/search.backward_search_pair) under interval sharding
+    rank2_rows: jax.Array | None = None    # uint32 [S, 16*nbl_max, row_words]
+    C2: jax.Array | None = None            # int64 [16] global, replicated
+    rank3_rows: jax.Array | None = None    # uint32 [S, 64*nbl_max, row_words]
+    C3: jax.Array | None = None            # int64 [64] global, replicated
     # static
     num_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -83,14 +91,16 @@ _STACKED = [
     "rank_rows", "sym4", "dollar_chunk", "sample_chunk",
     "starts", "lens", "dstarts", "dlens", "rstarts", "rlens",
     "lf_chunk", "mark_table", "spairs_chunk", "sstarts", "slens",
+    "rank2_rows", "rank3_rows",
 ]
+_REPLICATED = ["C", "C2", "C3"]
 _META = [
     "num_shards", "n", "num_reads", "num_samples", "rows_per_symbol",
     "block_size", "words_per_block", "max_read_len", "sample_rate",
 ]
 
 jax.tree_util.register_dataclass(
-    ShardedIndex, data_fields=_STACKED + ["C"], meta_fields=_META
+    ShardedIndex, data_fields=_STACKED + _REPLICATED, meta_fields=_META
 )
 
 
@@ -185,6 +195,22 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
                 sstarts[s] : sstarts[s] + slens[s]
             ]
 
+    # k-step tiers: shard boundaries are block-aligned, so each shard's
+    # pair/triple plane table is a SLICE of the global one with the
+    # checkpoint column rebased to the shard start (the bitplane words are
+    # bit-identical) — no per-shard repacking pass needed.
+    rank2_rows = C2 = rank3_rows = C3 = None
+    if packed.rank2_blocks is not None and packed.C2 is not None:
+        rank2_rows = _slice_plane_tiers(
+            packed.rank2_blocks, starts, ends, bs, nbl_max
+        )
+        C2 = np.asarray(packed.C2, dtype=np.int64)
+    if packed.rank3_blocks is not None and packed.C3 is not None:
+        rank3_rows = _slice_plane_tiers(
+            packed.rank3_blocks, starts, ends, bs, nbl_max
+        )
+        C3 = np.asarray(packed.C3, dtype=np.int64)
+
     return ShardedIndex(
         rank_rows=rank_rows,
         sym4=sym4,
@@ -197,6 +223,10 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
         rstarts=rstarts,
         rlens=rlens,
         C=np.asarray(packed.C, dtype=np.int64),
+        rank2_rows=rank2_rows,
+        C2=C2,
+        rank3_rows=rank3_rows,
+        C3=C3,
         lf_chunk=lf_chunk,
         mark_table=mark_table,
         spairs_chunk=spairs_chunk,
@@ -214,8 +244,31 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
     )
 
 
+def _slice_plane_tiers(
+    table: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    bs: int,
+    nbl_max: int,
+) -> np.ndarray:
+    """Global plane table [P, NB+1, R] → per-shard stacked
+    [S, P*nbl_max, R] with rebased checkpoints."""
+    S = len(starts)
+    P_, _, R = table.shape
+    out = np.zeros((S, P_ * nbl_max, R), dtype=np.uint32)
+    for s in range(S):
+        b0 = int(starts[s]) // bs
+        b1 = -(-int(ends[s]) // bs)  # ceil
+        sl = np.array(table[:, b0 : b1 + 1], dtype=np.uint32)
+        sl[:, :, 0] -= sl[:, :1, 0]
+        pad = np.zeros((P_, nbl_max, R), dtype=np.uint32)
+        pad[:, : sl.shape[1]] = sl
+        out[s] = pad.reshape(-1, R)
+    return out
+
+
 def sharding_specs(sidx: ShardedIndex) -> ShardedIndex:
-    """Pytree of PartitionSpecs matching ShardedIndex (C replicated);
+    """Pytree of PartitionSpecs matching ShardedIndex (C/C2/C3 replicated);
     only the leading (stacked) axis of each field is sharded."""
     kw = {}
     for f in _STACKED:
@@ -224,7 +277,8 @@ def sharding_specs(sidx: ShardedIndex) -> ShardedIndex:
             kw[f] = None
         else:
             kw[f] = P("shard", *([None] * (np.ndim(v) - 1)))
-    kw["C"] = P()
+    for f in _REPLICATED:
+        kw[f] = P() if getattr(sidx, f) is not None else None
     for f in _META:
         kw[f] = getattr(sidx, f)
     return ShardedIndex(**kw)
@@ -234,7 +288,7 @@ def place_sharded(sidx: ShardedIndex, mesh) -> ShardedIndex:
     """device_put every field with its NamedSharding on the mesh."""
     specs = sharding_specs(sidx)
     placed = {}
-    for f in _STACKED + ["C"]:
+    for f in _STACKED + _REPLICATED:
         v = getattr(sidx, f)
         if v is None:
             placed[f] = None
@@ -266,6 +320,14 @@ class _ShardLocal:
         self.rlen = sidx.rlens[0]
         self.C = sidx.C
         self.meta = sidx
+        self.rank2_rows = (
+            sidx.rank2_rows[0] if sidx.rank2_rows is not None else None
+        )
+        self.C2 = sidx.C2
+        self.rank3_rows = (
+            sidx.rank3_rows[0] if sidx.rank3_rows is not None else None
+        )
+        self.C3 = sidx.C3
         if sidx.has_fast_resolve:
             self.lf = sidx.lf_chunk[0]
             self.mark_table = sidx.mark_table[0]
@@ -279,6 +341,22 @@ class _ShardLocal:
         r = occ_rows(
             self.rank_rows,
             c,
+            loc,
+            rows_per_symbol=self.meta.rows_per_symbol,
+            log2_block=self.meta.log2_block,
+            words_per_block=self.meta.words_per_block,
+        )
+        return jax.lax.psum(r.astype(jnp.int64), "shard")
+
+    def occ_plane_global(
+        self, table: jax.Array, code: jax.Array, i: jax.Array
+    ) -> jax.Array:
+        """Clamped-psum rank over a k-gram plane table (same identity as
+        occ_global; the plane tables share the base layout's geometry)."""
+        loc = jnp.clip(i - self.start, 0, self.len).astype(jnp.int32)
+        r = occ_rows(
+            table,
+            code,
             loc,
             rows_per_symbol=self.meta.rows_per_symbol,
             log2_block=self.meta.log2_block,
@@ -356,13 +434,24 @@ class _ShardLocal:
         return jax.lax.psum(jnp.where(inr[:, None], v, 0), "shard")
 
 
-def _query_body(sidx, lut, kmers, lengths, *, max_hits: int, lut_p: int):
+def _query_body(
+    sidx, lut, kmers, lengths, *,
+    max_hits: int, lut_p: int, kstep: int = 1, early_exit: bool = False,
+):
     """Full query step inside shard_map: search + resolve + attribution.
 
     kmers int32 [Bloc, K]; all interval math int64; outputs replicated
     across 'shard' (established by psum), sharded over 'dp'.  When
     ``lut`` is given (int64 [4^p, 2], replicated) every query length must
     be ≥ lut_p — the engine routes shorter batches to the plain variant.
+
+    ``kstep >= 2`` uses the pair/triple plane tiers (one clamped-psum rank
+    advances 2/3 characters — ÷k dependent gathers AND ÷k collectives per
+    query); it requires a uniform full-width batch (every length == K),
+    like the single-chip ``backward_search_pair``.  ``early_exit`` wraps
+    the k-step scan in a while_loop that stops once every interval in the
+    whole (global) batch is empty — liveness is made mesh-uniform with a
+    ``pmax`` over 'dp' (l/u are already shard-invariant via psum).
     """
     loc = _ShardLocal(sidx)
     B, K = kmers.shape
@@ -388,20 +477,108 @@ def _query_body(sidx, lut, kmers, lengths, *, max_hits: int, lut_p: int):
         l0 = jnp.take(loc.C, c_last)  # already 'dp'-varying via kmers
         u0 = jnp.take(loc.C, c_last + 1)
         last_col = K - 1
-    cols = jnp.flip(kmers[:, :last_col].T, axis=0)
-    js = jnp.arange(last_col - 1, -1, -1, dtype=jnp.int32)
+    if kstep >= 2 and loc.rank2_rows is not None:
+        def run_steps(l, u, steps, table, starts):
+            nsteps = steps.shape[0]
+            if not nsteps:
+                return l, u
 
-    def step(carry, xs):
-        l, u = carry
-        c, j = xs
-        active = (j >= K - lengths) & (l < u)
-        occ2 = loc.occ_global(jnp.concatenate([c, c]), jnp.concatenate([l, u]))
-        base = jnp.take(loc.C, c)
-        l = jnp.where(active, base + occ2[:B], l)
-        u = jnp.where(active, base + occ2[B:], u)
-        return (l, u), None
+            def apply(l, u, code):
+                active = l < u
+                occ2 = loc.occ_plane_global(
+                    table,
+                    jnp.concatenate([code, code]),
+                    jnp.concatenate([l, u]),
+                )
+                base = jnp.take(starts, code)
+                return (
+                    jnp.where(active, base + occ2[:B], l),
+                    jnp.where(active, base + occ2[B:], u),
+                )
 
-    (l, u), _ = jax.lax.scan(step, (l0, u0), (cols, js))
+            if early_exit:
+                def cond(state):
+                    t, l, u = state
+                    alive = jnp.any(l < u).astype(jnp.int32)
+                    # while cond must agree on every device: l/u are
+                    # shard-invariant (psum); pmax makes them dp-uniform
+                    return (t < nsteps) & (jax.lax.pmax(alive, "dp") > 0)
+
+                def body(state):
+                    t, l, u = state
+                    code = jax.lax.dynamic_index_in_dim(
+                        steps, t, keepdims=False
+                    )
+                    l, u = apply(l, u, code)
+                    return t + 1, l, u
+
+                _, l, u = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), l, u)
+                )
+                return l, u
+
+            (l, u), _ = jax.lax.scan(
+                lambda c, code: (apply(*c, code), None), (l, u), steps
+            )
+            return l, u
+
+        # greedy schedule as in ops/search.backward_search_pair: 3-char
+        # steps while the tier exists, then a 2- or 1-char remainder at
+        # the pattern's LEFT end (runs last)
+        r = last_col
+        ntriples = r // 3 if (kstep >= 3 and loc.rank3_rows is not None) else 0
+        rem = r - 3 * ntriples
+        l, u = l0, u0
+        if ntriples:
+            sub3 = kmers[:, rem:r]
+            codes3 = (
+                (sub3[:, 0::3] - 1) * 16
+                + (sub3[:, 1::3] - 1) * 4
+                + (sub3[:, 2::3] - 1)
+            )
+            l, u = run_steps(
+                l, u, jnp.flip(codes3.T, axis=0), loc.rank3_rows, loc.C3
+            )
+        npairs = rem // 2
+        if npairs:
+            sub2 = kmers[:, rem % 2 : rem]
+            codes2 = (sub2[:, 0::2] - 1) * 4 + (sub2[:, 1::2] - 1)
+            l, u = run_steps(
+                l, u, jnp.flip(codes2.T, axis=0), loc.rank2_rows, loc.C2
+            )
+        if rem % 2:
+            c0 = kmers[:, 0]
+            active = l < u
+            occ2 = loc.occ_global(
+                jnp.concatenate([c0, c0]), jnp.concatenate([l, u])
+            )
+            base = jnp.take(loc.C, c0)
+            l = jnp.where(active, base + occ2[:B], l)
+            u = jnp.where(active, base + occ2[B:], u)
+    else:
+        cols = jnp.flip(kmers[:, :last_col].T, axis=0)
+        js = jnp.arange(last_col - 1, -1, -1, dtype=jnp.int32)
+
+        def step(carry, xs):
+            l, u = carry
+            c, j = xs
+            active = (j >= K - lengths) & (l < u)
+            occ2 = loc.occ_global(
+                jnp.concatenate([c, c]), jnp.concatenate([l, u])
+            )
+            base = jnp.take(loc.C, c)
+            l = jnp.where(active, base + occ2[:B], l)
+            u = jnp.where(active, base + occ2[B:], u)
+            return (l, u), None
+
+        (l, u), _ = jax.lax.scan(step, (l0, u0), (cols, js))
+
+    # canonical empty intervals (ops/search.canonical_empty contract):
+    # frozen bounds differ across step granularities; (0, 0) everywhere
+    empty = l >= u
+    zero64 = jnp.zeros_like(l)
+    l = jnp.where(empty, zero64, l)
+    u = jnp.where(empty, zero64, u)
 
     # resolve: expand intervals, lockstep LF-walk with psum-merged ranks
     H = max_hits
@@ -488,16 +665,35 @@ def make_sharded_query_fn(
     mesh,
     max_hits: int = 64,
     lut_p: int = 0,
+    kstep: int | None = None,
+    early_exit: bool = False,
 ):
     """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
 
     Signature: ``fn(sidx, lut_or_None, kmers [B,K] i32, lengths [B] i32)
     → dict``.  When built with ``lut_p > 0`` the returned fn REQUIRES a
     replicated int64 [4^p, 2] LUT and query lengths ≥ lut_p.
+
+    ``kstep=None`` auto-selects the deepest k-gram tier the index carries;
+    a fn built with ``kstep >= 2`` additionally requires every query
+    length == K (uniform full-width batches — the engine routes
+    mixed-length batches to a ``kstep=1`` variant).
     """
+    if kstep is None:
+        kstep = (
+            3 if sidx.rank3_rows is not None
+            else 2 if sidx.rank2_rows is not None
+            else 1
+        )
     idx_specs = sharding_specs(sidx)
     fn = jax.shard_map(
-        partial(_query_body, max_hits=max_hits, lut_p=lut_p),
+        partial(
+            _query_body,
+            max_hits=max_hits,
+            lut_p=lut_p,
+            kstep=kstep,
+            early_exit=early_exit,
+        ),
         mesh=mesh,
         in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),
         out_specs=dict(
@@ -547,4 +743,6 @@ def build_prefix_lut_sharded(sidx: ShardedIndex, mesh, p: int) -> jax.Array:
     u = sidx.C[2:6]
     for _ in range(p - 1):
         l, u = level_fn(sidx, l, u)
-    return jnp.stack([l, u], axis=1)
+    empty = l >= u  # canonical (0, 0) for absent p-mers (search contract)
+    zero = jnp.zeros_like(l)
+    return jnp.stack([jnp.where(empty, zero, l), jnp.where(empty, zero, u)], axis=1)

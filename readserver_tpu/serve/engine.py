@@ -180,12 +180,27 @@ class QueryEngine:
                 if self.lut_p
                 else None
             )
+            # k-step variants serve uniform full-width batches (the common
+            # shape after _pad_encode's slicing); 1-step variants serve
+            # mixed-length batches, whose per-query masks the k-step
+            # schedule cannot express
             self._query_fn = make_sharded_query_fn(
                 self.sidx, mesh, max_hits=self.H, lut_p=0
+            )
+            self._query_fn_1 = make_sharded_query_fn(
+                self.sidx, mesh, max_hits=self.H, lut_p=0, kstep=1
             )
             self._query_fn_lut = (
                 make_sharded_query_fn(
                     self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p
+                )
+                if self.lut is not None
+                else None
+            )
+            self._query_fn_lut_1 = (
+                make_sharded_query_fn(
+                    self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p,
+                    kstep=1,
                 )
                 if self.lut is not None
                 else None
@@ -291,9 +306,17 @@ class QueryEngine:
             if nq <= w <= self.B:
                 width = w
                 break
-        # pad with full-length dummies so padding never disables the LUT path
-        padded = list(kmers) + ["A" * self.K] * (width - nq)
+        # dummies match the longest real query, so a uniform-length batch
+        # stays uniform after padding (keeps the k-step tiers usable) and
+        # padding never disables the LUT path
+        lmax = max((len(k) for k in kmers), default=self.K)
+        padded = list(kmers) + ["A" * lmax] * (width - nq)
         codes, lengths = encode_query_batch(padded, self.K)
+        # uniform-length batches slice to exactly L columns: the k-step
+        # paths require every column to be a real character (they ignore
+        # per-query lengths), and fewer columns = fewer scan steps anyway
+        if nq and int(lengths.min()) == lmax and lmax < self.K:
+            codes = np.ascontiguousarray(codes[:, self.K - lmax:])
         return codes, lengths, nq
 
     def _run(self, kmers: list[str], counts_only: bool) -> dict[str, np.ndarray]:
@@ -324,17 +347,20 @@ class QueryEngine:
                 and nq
                 and int(lengths[:nq].min()) >= self.lut_p
             )
+            uniform = bool(nq and int(lengths.min()) == codes.shape[1])
             if use_lut:
-                out = self._query_fn_lut(self.sidx, self.lut, codes, lengths)
+                fn = self._query_fn_lut if uniform else self._query_fn_lut_1
+                out = fn(self.sidx, self.lut, codes, lengths)
             else:
-                out = self._query_fn(self.sidx, None, codes, lengths)
+                fn = self._query_fn if uniform else self._query_fn_1
+                out = fn(self.sidx, None, codes, lengths)
         else:
             use_lut = bool(
                 self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
             ) if nq else False
-            # pair path requires every query at full width K (padding
-            # dummies already are); counts match the 1-step path exactly,
-            # empty-interval bounds are reported as counts anyway
+            # k-step path requires a uniform batch spanning every column
+            # (guaranteed by _pad_encode's slicing for uniform lengths);
+            # results are bit-identical to the 1-step path
             use_pair = bool(
                 self.has_pair and nq and int(lengths.min()) == codes.shape[1]
             )

@@ -160,3 +160,78 @@ def test_dollar_chunks_cover_all_reads(packed):
         [np.asarray(sidx.dollar_chunk)[s, : dlens[s]] for s in range(8)]
     )
     assert np.array_equal(got, np.asarray(packed.dollar_map, dtype=np.int32))
+
+
+def test_sharded_kstep_matches_onestep_and_oracle(packed, fm, tiny_corpus):
+    """Pair/triple-plane sharded search == 1-step sharded == oracle,
+    with and without the LUT, and with early exit — bit-identical
+    (canonical (0,0) empties)."""
+    from readserver_tpu.parallel import build_prefix_lut_sharded
+
+    corpus = tiny_corpus
+    assert packed.rank2_blocks is not None  # auto-built at tiny scale
+    mesh = make_mesh(data_parallel=2, num_shards=4)
+    sidx = place_sharded(build_sharded(packed, 4), mesh)
+    assert sidx.rank2_rows is not None and sidx.rank3_rows is not None
+    k = corpus.spec.kmer_len
+    kmers = sample_query_kmers(corpus, 48, k, seed=31, miss_frac=0.3)
+    codes, lengths = encode_query_batch(kmers, k)
+    p = 4
+    lut = build_prefix_lut_sharded(sidx, mesh, p)
+
+    variants = {
+        "k1": (make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS, kstep=1),
+               None),
+        "k3": (make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS), None),
+        "k3_lut": (
+            make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS, lut_p=p),
+            lut,
+        ),
+        "k3_ee": (
+            make_sharded_query_fn(
+                sidx, mesh, max_hits=MAX_HITS, early_exit=True
+            ),
+            None,
+        ),
+        "k2": (
+            make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS, kstep=2),
+            None,
+        ),
+    }
+    outs = {
+        name: {k2: np.asarray(v) for k2, v in fn(sidx, lt, codes, lengths).items()}
+        for name, (fn, lt) in variants.items()
+    }
+    ref = outs["k1"]
+    for name, out in outs.items():
+        for key in ["l", "u", "count", "read_id", "offset", "valid"]:
+            assert np.array_equal(out[key], ref[key]), (name, key)
+    for b, km in enumerate(kmers):
+        assert (int(ref["l"][b]), int(ref["u"][b])) == fm.backward_search(km), b
+
+
+def test_sharded_kstep_collective_accounting(packed, tiny_corpus):
+    """HLO-level collective counts are parseable and the analytic per-batch
+    psum estimate drops with tier depth (the point of porting the tiers)."""
+    from readserver_tpu.parallel.stats import (
+        collective_stats,
+        query_psum_estimate,
+    )
+
+    corpus = tiny_corpus
+    k = corpus.spec.kmer_len
+    e1 = query_psum_estimate(k, kstep=1, sample_rate=packed.sample_rate,
+                             fast_resolve=True)
+    e3 = query_psum_estimate(k, kstep=3, sample_rate=packed.sample_rate,
+                             fast_resolve=True)
+    assert e3["search"] < e1["search"]
+    assert e3["search"] <= -(-(k - 1) // 3) + 1
+
+    mesh = make_mesh(data_parallel=2, num_shards=4)
+    sidx = place_sharded(build_sharded(packed, 4), mesh)
+    kmers = sample_query_kmers(corpus, 16, k, seed=33)
+    codes, lengths = encode_query_batch(kmers, k)
+    qfn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    stats = collective_stats(qfn, sidx, None, codes, lengths)
+    assert stats["total"] > 0 and stats["all-reduce"] > 0
+    assert stats["bytes_out"] > 0
