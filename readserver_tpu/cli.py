@@ -187,6 +187,41 @@ def cmd_serve(args) -> int:
 
     from readserver_tpu.serve.http import serve_forever
 
+    if args.coordinator:
+        # multi-host serving rig (SURVEY.md §2.4): every host runs this
+        # command with its process id; process 0 fronts REST and
+        # broadcasts each batch tick, the rest follow in lockstep
+        import jax
+
+        from readserver_tpu.config import ServeConfig
+        from readserver_tpu.index import artifact
+        from readserver_tpu.parallel.multihost import (
+            init_multihost,
+            make_global_mesh,
+        )
+        from readserver_tpu.serve import QueryEngine
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        mesh = make_global_mesh(args.shards if args.shards > 1 else None)
+        packed = artifact.load_artifact(args.index, mmap=False)
+        cfg = ServeConfig(
+            batch_size=args.batch,
+            num_shards=int(mesh.shape["shard"]),
+            data_parallel=int(mesh.shape["dp"]),
+        )
+        engine = QueryEngine(packed, cfg, mesh=mesh)
+        if jax.process_index() != 0:
+            engine.follow()
+            return 0
+        engine.warmup()
+        try:
+            asyncio.run(serve_forever(engine, args.host, args.port))
+        except KeyboardInterrupt:
+            pass
+        finally:
+            engine.stop_followers()
+        return 0
+
     engine = _load_engine(args.index, args.batch, args.shards)
     engine.warmup()
     try:
@@ -259,6 +294,11 @@ def main(argv=None) -> int:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--batch", type=int, default=256)
     s.add_argument("--shards", type=int, default=1)
+    s.add_argument("--coordinator", default="",
+                   help="host:port of process 0 — joins a multi-host "
+                        "jax.distributed group (run one serve per host)")
+    s.add_argument("--num-processes", type=int, default=1)
+    s.add_argument("--process-id", type=int, default=0)
     s.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("simulate", help="write a simulated corpus as FASTA")

@@ -121,8 +121,8 @@ class QueryEngine:
                     self.sample_names[i] = nm
         else:
             self.sample_names = packed.sample_names or ["sample_0"]
-        self._sharded = (
-            not self._doc and mesh is not None and self.cfg.num_shards > 1
+        self._sharded = not self._doc and mesh is not None and (
+            self.cfg.num_shards > 1 or self.cfg.data_parallel > 1
         )
         if self._doc:
             if mesh is None:
@@ -167,6 +167,11 @@ class QueryEngine:
             )
 
             self.mesh = mesh
+            # multi-host process group (SURVEY.md §2.4): the mesh spans
+            # every process's devices; batches are broadcast from process
+            # 0 each tick and all processes execute the SPMD step together
+            # (followers loop in .follow()).  Single-process when 1.
+            self._mh = jax.process_count() > 1
             self.sidx = place_sharded(
                 build_sharded(packed, self.cfg.num_shards), mesh
             )
@@ -302,10 +307,14 @@ class QueryEngine:
         # lone query doesn't pay the full-batch program (p50 under light
         # load); jit specializes per width on first use
         width = self.B
-        for w in sorted(self.cfg.small_batch_sizes):
-            if nq <= w <= self.B:
-                width = w
-                break
+        if getattr(self, "_mh", False):
+            # multi-host ticks broadcast fixed-shape payloads; no tiering
+            pass
+        else:
+            for w in sorted(self.cfg.small_batch_sizes):
+                if nq <= w <= self.B:
+                    width = w
+                    break
         # dummies match the longest real query, so a uniform-length batch
         # stays uniform after padding (keeps the k-step tiers usable) and
         # padding never disables the LUT path
@@ -315,7 +324,14 @@ class QueryEngine:
         # uniform-length batches slice to exactly L columns: the k-step
         # paths require every column to be a real character (they ignore
         # per-query lengths), and fewer columns = fewer scan steps anyway
-        if nq and int(lengths.min()) == lmax and lmax < self.K:
+        # (multi-host broadcasts fixed [B, K] payloads; the identical
+        # slicing decision is re-derived per process after the broadcast)
+        if (
+            not getattr(self, "_mh", False)
+            and nq
+            and int(lengths.min()) == lmax
+            and lmax < self.K
+        ):
             codes = np.ascontiguousarray(codes[:, self.K - lmax:])
         return codes, lengths, nq
 
@@ -342,6 +358,14 @@ class QueryEngine:
                 )
             return merged
         if self._sharded:
+            if self._mh:
+                from jax.experimental import multihost_utils
+
+                payload = multihost_utils.broadcast_one_to_all(
+                    (codes, lengths, np.int32(nq), np.int32(0))
+                )
+                out = self._mh_execute(*payload[:3])
+                return {k: v[:nq] for k, v in out.items()}
             use_lut = bool(
                 self.lut is not None
                 and nq
@@ -367,6 +391,81 @@ class QueryEngine:
             fn = self._count_jit if counts_only else self._full_jit
             out = fn(self.index, self.lut, codes, lengths, use_lut, use_pair)
         return {k: np.asarray(v)[:nq] for k, v in out.items()}
+
+    def _mh_execute(
+        self, codes: np.ndarray, lengths: np.ndarray, nq: int
+    ) -> dict[str, np.ndarray]:
+        """One multi-host tick: every process runs this with the SAME
+        (broadcast) batch.  Per-process dp ingest slice → SPMD step →
+        allgather egress (process 0 answers clients; followers discard).
+        All routing decisions derive from the broadcast payload, so every
+        process picks the same compiled variant."""
+        import jax
+
+        from readserver_tpu.parallel.multihost import (
+            gather_results,
+            host_local_queries,
+        )
+
+        nq = int(nq)
+        K = codes.shape[1]
+        lmax = int(lengths.max()) if len(lengths) else K
+        if int(lengths.min()) == lmax and lmax < K:
+            codes = np.ascontiguousarray(codes[:, K - lmax:])
+        use_lut = bool(
+            self.lut is not None
+            and nq
+            and int(lengths[:nq].min()) >= self.lut_p
+        )
+        uniform = bool(int(lengths.min()) == codes.shape[1])
+        B = codes.shape[0]
+        nproc = jax.process_count()
+        if B % nproc:
+            raise ValueError(f"batch_size {B} must divide by {nproc} hosts")
+        share = B // nproc
+        pid = jax.process_index()
+        lc, ll = host_local_queries(
+            self.mesh,
+            codes[pid * share : (pid + 1) * share],
+            lengths[pid * share : (pid + 1) * share],
+        )
+        if use_lut:
+            fn = self._query_fn_lut if uniform else self._query_fn_lut_1
+            out = fn(self.sidx, self.lut, lc, ll)
+        else:
+            fn = self._query_fn if uniform else self._query_fn_1
+            out = fn(self.sidx, None, lc, ll)
+        return gather_results(out)
+
+    def follow(self) -> None:
+        """Follower loop for processes != 0: execute broadcast ticks until
+        process 0 sends the stop flag (or this process is killed)."""
+        from jax.experimental import multihost_utils
+
+        zero_c = np.zeros((self.B, self.K), dtype=np.int32)
+        zero_l = np.ones(self.B, dtype=np.int32)
+        while True:
+            codes, lengths, nq, stop = multihost_utils.broadcast_one_to_all(
+                (zero_c, zero_l, np.int32(0), np.int32(0))
+            )
+            if int(stop):
+                return
+            self._mh_execute(np.asarray(codes), np.asarray(lengths), int(nq))
+
+    def stop_followers(self) -> None:
+        """Release .follow() loops on the other processes."""
+        if not getattr(self, "_mh", False):
+            return
+        from jax.experimental import multihost_utils
+
+        multihost_utils.broadcast_one_to_all(
+            (
+                np.zeros((self.B, self.K), dtype=np.int32),
+                np.ones(self.B, dtype=np.int32),
+                np.int32(0),
+                np.int32(1),
+            )
+        )
 
     # ------------------------------------------------------------ public
 
