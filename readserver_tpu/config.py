@@ -80,6 +80,14 @@ class ServeConfig:
     # their queries report hits_truncated). None disables.
     resolve_budget_frac: float | None = 0.6
     batch_deadline_ms: float = 2.0 # max wait to fill a batch
+    # exact per-sample attribution: sweep FULL query intervals for the
+    # sample histogram instead of only the max_hits resolved rows
+    # (BASELINE.json config 5 — population-scale presence queries
+    # routinely exceed any per-query hit cap).  max_sweep_rows bounds the
+    # per-batch walked rows (adversarially frequent k-mers); queries cut
+    # off by it report sample_hist_complete=False.
+    exact_attribution: bool = True
+    max_sweep_rows: int | None = 1 << 20
     # whole-batch early termination (lax.while_loop): skips remaining scan
     # steps once every interval is empty — wins on miss-heavy workloads
     # (e.g. contamination screens), costs one any-reduce per step otherwise

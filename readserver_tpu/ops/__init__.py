@@ -16,7 +16,11 @@ from readserver_tpu.ops.search import (
     encode_query_batch,
 )
 from readserver_tpu.ops.lut import build_prefix_lut, default_lut_order
-from readserver_tpu.ops.resolve import resolve_intervals, sample_histogram
+from readserver_tpu.ops.resolve import (
+    exact_sample_histogram,
+    resolve_intervals,
+    sample_histogram,
+)
 
 __all__ = [
     "DeviceIndex",
@@ -27,6 +31,7 @@ __all__ = [
     "build_prefix_lut",
     "default_lut_order",
     "encode_query_batch",
+    "exact_sample_histogram",
     "resolve_intervals",
     "sample_histogram",
 ]

@@ -288,6 +288,79 @@ def resolve_intervals(
     )
 
 
+def exact_sample_histogram(
+    index: DeviceIndex,
+    l: jax.Array,         # int32 [B]
+    u: jax.Array,         # int32 [B]
+    window: int,
+    max_rows: int | None = None,
+    **walk_kw,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact per-sample attribution over FULL intervals — no hit cap.
+
+    The capped path (``resolve_intervals`` + ``sample_histogram``) stops at
+    ``max_hits`` rows per query, which silently truncates population-scale
+    presence histograms (BASELINE.json config 5 answers).  Here the
+    CONCATENATION of all query intervals is swept as one dense worklist:
+    iteration ``t`` resolves global rows ``[t·window, (t+1)·window)`` — a
+    searchsorted over the count prefix sums maps each global slot back to
+    its (query, SA row) — so no lane is wasted on exhausted queries and the
+    total gather volume is exactly ``Σ counts`` walks.  A ``lax.while_loop``
+    runs until the worklist is empty (or ``max_rows``, the safety valve for
+    adversarially frequent k-mers).
+
+    Returns ``(hist int32 [B, num_samples], complete bool [B])`` —
+    ``complete[b]`` is False only when the ``max_rows`` cap cut query b off.
+    """
+    B = l.shape[0]
+    S = max(index.num_samples, 1)
+    counts = (u - l).astype(jnp.int32)
+    cum = jnp.cumsum(counts)                      # [B]
+    total = cum[B - 1]
+    span = jnp.arange(window, dtype=jnp.int32)    # [W]
+
+    def walk(rows, valid):
+        if index.lf is not None and index.sample_rate > 0:
+            return resolve_rows_fast(index, rows, valid)
+        if index.mark_rank is not None and index.sample_rate > 0:
+            return resolve_rows_marked(index, rows, valid)
+        return resolve_rows(index, rows, valid, **walk_kw)
+
+    def cond(state):
+        t, _ = state
+        done = t * window >= total
+        if max_rows is not None:
+            done = done | (t * window >= max_rows)
+        return ~done
+
+    def body(state):
+        t, hist = state
+        g = t * window + span                     # global worklist slots
+        valid = g < total
+        q = jnp.searchsorted(cum, g, side="right").astype(jnp.int32)
+        qc = jnp.minimum(q, B - 1)
+        prev = jnp.where(qc > 0, jnp.take(cum, jnp.maximum(qc - 1, 0)), 0)
+        rows = jnp.take(l, qc) + (g - prev)
+        rid, _ = walk(jnp.where(valid, rows, 0), valid)
+        sample = jnp.take(
+            index.read_to_sample,
+            jnp.clip(rid, 0, max(index.num_reads - 1, 0)),
+        )
+        seg = qc * S + sample
+        hist = hist + jax.ops.segment_sum(
+            valid.astype(jnp.int32), seg, num_segments=B * S
+        ).reshape(B, S)
+        return t + 1, hist
+
+    zero = jnp.zeros((B, S), dtype=jnp.int32) + (l[:, None] * 0)
+    t_end, hist = jax.lax.while_loop(cond, body, (jnp.int32(0), zero))
+    # rows are swept in concatenated order, so query b completed iff its
+    # interval's end fell inside the processed prefix (always true
+    # without a max_rows cap: the loop only exits at >= total)
+    complete = cum <= t_end * window
+    return hist, complete
+
+
 def sample_histogram(
     index: DeviceIndex,
     read_id: jax.Array,   # int32 [B, H]

@@ -205,7 +205,11 @@ def _local_device_index(didx: DocShardedIndex) -> DeviceIndex:
     )
 
 
-def _doc_query_body(didx, kmers, lengths, *, max_hits: int, row_budget):
+def _doc_query_body(
+    didx, kmers, lengths, *,
+    max_hits: int, row_budget, exact_hist: bool = False,
+    exact_max_rows: int | None = None,
+):
     """Per-shard complete query; collectives only at the very end."""
     local = _local_device_index(didx)
     if didx.lut_p:
@@ -226,18 +230,33 @@ def _doc_query_body(didx, kmers, lengths, *, max_hits: int, row_budget):
     # per-sample attribution: sample ids are already global
     B, H = rid.shape
     S = didx.num_samples
-    sample = jnp.take(
-        didx.read_to_sample[0],
-        jnp.clip(rid, 0, didx.read_to_sample.shape[1] - 1),
-        axis=0,
-    )
-    seg = (
-        jnp.repeat(jnp.arange(B, dtype=jnp.int32), H) * S + sample.reshape(-1)
-    )
-    hist = jax.ops.segment_sum(
-        valid.astype(jnp.int32).reshape(-1), seg, num_segments=B * S
-    ).reshape(B, S)
-    hist = jax.lax.psum(hist, "shard")
+    if exact_hist:
+        # exact attribution (no hit cap): each shard sweeps its own FULL
+        # intervals (ops/resolve.exact_sample_histogram dense worklist);
+        # per-shard hists psum into the global answer
+        hist, complete = resolve_ops.exact_sample_histogram(
+            local, l, u, window=B * H, max_rows=exact_max_rows
+        )
+        hist = jax.lax.psum(hist, "shard")
+        hist_complete = (
+            jax.lax.psum(complete.astype(jnp.int32), "shard")
+            == didx.num_shards
+        )
+    else:
+        sample = jnp.take(
+            didx.read_to_sample[0],
+            jnp.clip(rid, 0, didx.read_to_sample.shape[1] - 1),
+            axis=0,
+        )
+        seg = (
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), H)
+            * S + sample.reshape(-1)
+        )
+        hist = jax.ops.segment_sum(
+            valid.astype(jnp.int32).reshape(-1), seg, num_segments=B * S
+        ).reshape(B, S)
+        hist = jax.lax.psum(hist, "shard")
+        hist_complete = total <= H  # capped: only exact when fully resolved
     # per-shard outputs carry a leading size-1 axis that shard_map tiles
     # into the stacked [S, ...] result
     return dict(
@@ -247,11 +266,13 @@ def _doc_query_body(didx, kmers, lengths, *, max_hits: int, row_budget):
         offset=off[None],
         valid=valid[None],
         sample_hist=hist,
+        hist_complete=hist_complete,
     )
 
 
 def make_doc_query_fn(
-    didx: DocShardedIndex, mesh, max_hits: int = 64, row_budget=None
+    didx: DocShardedIndex, mesh, max_hits: int = 64, row_budget=None,
+    exact_hist: bool = False, exact_max_rows: int | None = None,
 ):
     """jit'd doc-sharded query fn.
 
@@ -263,7 +284,13 @@ def make_doc_query_fn(
     """
     specs = doc_specs(didx)
     fn = jax.shard_map(
-        partial(_doc_query_body, max_hits=max_hits, row_budget=row_budget),
+        partial(
+            _doc_query_body,
+            max_hits=max_hits,
+            row_budget=row_budget,
+            exact_hist=exact_hist,
+            exact_max_rows=exact_max_rows,
+        ),
         mesh=mesh,
         in_specs=(specs, P(None, None), P(None)),
         out_specs=dict(
@@ -273,6 +300,7 @@ def make_doc_query_fn(
             offset=P("shard", None, None),
             valid=P("shard", None, None),
             sample_hist=P(),
+            hist_complete=P(),
         ),
     )
     return jax.jit(fn)

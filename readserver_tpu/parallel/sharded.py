@@ -437,6 +437,7 @@ class _ShardLocal:
 def _query_body(
     sidx, lut, kmers, lengths, *,
     max_hits: int, lut_p: int, kstep: int = 1, early_exit: bool = False,
+    exact_hist: bool = False, exact_max_rows: int | None = None,
 ):
     """Full query step inside shard_map: search + resolve + attribution.
 
@@ -457,12 +458,8 @@ def _query_body(
     B, K = kmers.shape
     n, m = sidx.n, sidx.num_reads
 
-    def vary(x):
-        # constant-initialized loop carries become 'dp'-varying inside the
-        # loops (they mix with the dp-sharded queries); mark them up front
-        # to satisfy shard_map's varying-manual-axes check
-        return jax.lax.pcast(x, ("dp",), to="varying")
-
+    # NB: every loop carry below derives from dp-sharded inputs (kmers →
+    # l/u → rows), so carries are born 'dp'-varying and need no pcast
     if lut is not None:
         from readserver_tpu.ops.search import prefix_ids
 
@@ -587,42 +584,43 @@ def _query_body(
     valid = (span[None, :] < (u - l)[:, None]).reshape(-1)
     rows = jnp.where(valid, rows, 0)
 
-    Rr = B * H
-    if sidx.has_fast_resolve:
-        # sampled-LF walk: 1 psum-gather per step, bound = sample_rate
-        state = (rows, ~valid, vary(jnp.zeros(Rr, dtype=jnp.int32)))
+    def do_walk(wrows, wvalid):
+        """Lockstep LF-walk over global rows → (read_id, offset)."""
+        if sidx.has_fast_resolve:
+            # sampled-LF walk: 1 psum-gather per step, bound = sample_rate
+            # (carries derive from wrows, so they are already dp-varying)
+            state = (wrows, ~wvalid, wrows.astype(jnp.int32) * 0)
 
-        def fwalk(t, state):
-            cur, done, steps = state
+            def fwalk(t, state):
+                cur, done, steps = state
+                raw = loc.lf_raw_global(cur)
+                val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
+                is_term = (raw < 0) | (val < m)
+                step_now = ~done & ~is_term
+                cur = jnp.where(step_now, val, cur)
+                steps = steps + step_now.astype(jnp.int32)
+                done = done | is_term
+                return cur, done, steps
+
+            cur, done, steps = jax.lax.fori_loop(
+                0, max(sidx.sample_rate, 1), fwalk, state
+            )
             raw = loc.lf_raw_global(cur)
+            is_marked = raw < 0
             val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
-            is_term = (raw < 0) | (val < m)
-            step_now = ~done & ~is_term
-            cur = jnp.where(step_now, val, cur)
-            steps = steps + step_now.astype(jnp.int32)
-            done = done | is_term
-            return cur, done, steps
+            rid_d = loc.dollar_global(val)
+            slot = loc.mark_rank_global(cur)
+            pair = loc.sample_pair_global(slot)
+            read_id = jnp.where(is_marked, pair[:, 0], rid_d)
+            offset = jnp.where(is_marked, pair[:, 1] + steps, steps)
+            ok = wvalid & done
+            return jnp.where(ok, read_id, -1), jnp.where(ok, offset, -1)
 
-        cur, done, steps = jax.lax.fori_loop(
-            0, max(sidx.sample_rate, 1), fwalk, state
-        )
-        raw = loc.lf_raw_global(cur)
-        is_marked = raw < 0
-        val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
-        rid_d = loc.dollar_global(val)
-        slot = loc.mark_rank_global(cur)
-        pair = loc.sample_pair_global(slot)
-        read_id = jnp.where(is_marked, pair[:, 0], rid_d)
-        offset = jnp.where(is_marked, pair[:, 1] + steps, steps)
-        ok = valid & done
-        read_id = jnp.where(ok, read_id, -1)
-        offset = jnp.where(ok, offset, -1)
-    else:
         state = (
-            rows,
-            ~valid,
-            vary(jnp.full(Rr, -1, dtype=jnp.int32)),
-            vary(jnp.full(Rr, -1, dtype=jnp.int32)),
+            wrows,
+            ~wvalid,
+            wrows.astype(jnp.int32) * 0 - 1,
+            wrows.astype(jnp.int32) * 0 - 1,
         )
 
         def walk(t, state):
@@ -641,13 +639,59 @@ def _query_body(
         _, _, read_id, offset = jax.lax.fori_loop(
             0, sidx.max_read_len, walk, state
         )
+        return read_id, offset
 
+    read_id, offset = do_walk(rows, valid)
     sample = loc.sample_global(jnp.clip(read_id, 0, max(m - 1, 0)))
     S = sidx.num_samples
     seg = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H) * S + sample
     hist = jax.ops.segment_sum(
         valid.astype(jnp.int32), seg, num_segments=B * S
     ).reshape(B, S)
+    hist_complete = (u - l) <= H
+
+    if exact_hist:
+        # exact attribution (no hit cap): dense sweep of the concatenated
+        # intervals in windows of B*H rows — same worklist scheme as
+        # ops/resolve.exact_sample_histogram, with psum-merged walks.
+        # Trip count is made dp-uniform (pmax) so every device runs the
+        # same number of 'shard' collectives; spare iterations on shorter
+        # dp rows carry no valid lanes.
+        W = B * H
+        counts64 = u - l
+        cum = jnp.cumsum(counts64)
+        total_u = jax.lax.pmax(cum[B - 1], "dp")
+        span64 = jnp.arange(W, dtype=jnp.int64)
+        cap = exact_max_rows
+
+        def scond(state):
+            t, _ = state
+            alive = t * W < total_u
+            if cap is not None:
+                alive = alive & (t * W < cap)
+            return alive
+
+        def sbody(state):
+            t, hh = state
+            g = t * W + span64
+            gvalid = g < cum[B - 1]
+            q = jnp.searchsorted(cum, g, side="right").astype(jnp.int32)
+            qc = jnp.minimum(q, B - 1)
+            prev = jnp.where(qc > 0, jnp.take(cum, jnp.maximum(qc - 1, 0)), 0)
+            wrows = jnp.take(l, qc) + (g - prev)
+            rid, _ = do_walk(jnp.where(gvalid, wrows, 0), gvalid)
+            samp = loc.sample_global(jnp.clip(rid, 0, max(m - 1, 0)))
+            seg2 = qc * S + samp
+            hh = hh + jax.ops.segment_sum(
+                gvalid.astype(jnp.int32), seg2, num_segments=B * S
+            ).reshape(B, S)
+            return t + 1, hh
+
+        zero = jnp.zeros((B, S), dtype=jnp.int32) + (l[:, None] * 0).astype(
+            jnp.int32
+        )
+        t_end, hist = jax.lax.while_loop(scond, sbody, (jnp.int64(0), zero))
+        hist_complete = cum <= t_end * W
 
     return dict(
         l=l,
@@ -657,6 +701,7 @@ def _query_body(
         offset=offset.reshape(B, H),
         valid=valid.reshape(B, H),
         sample_hist=hist,
+        hist_complete=hist_complete,
     )
 
 
@@ -667,6 +712,8 @@ def make_sharded_query_fn(
     lut_p: int = 0,
     kstep: int | None = None,
     early_exit: bool = False,
+    exact_hist: bool = False,
+    exact_max_rows: int | None = None,
 ):
     """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
 
@@ -693,6 +740,8 @@ def make_sharded_query_fn(
             lut_p=lut_p,
             kstep=kstep,
             early_exit=early_exit,
+            exact_hist=exact_hist,
+            exact_max_rows=exact_max_rows,
         ),
         mesh=mesh,
         in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),
@@ -704,6 +753,7 @@ def make_sharded_query_fn(
             offset=P("dp", None),
             valid=P("dp", None),
             sample_hist=P("dp", None),
+            hist_complete=P("dp"),
         ),
     )
     return jax.jit(fn)

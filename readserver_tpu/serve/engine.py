@@ -34,6 +34,10 @@ class QueryResult:
     hits: list[dict] = field(default_factory=list)      # read_id/sample_id/offset
     sample_hist: dict[str, int] | None = None
     hits_truncated: bool = False
+    # exact-attribution contract: the histogram covers the FULL interval
+    # (False only when the engine's max_sweep_rows safety cap cut it off,
+    # or when running with exact_attribution disabled and count > max_hits)
+    sample_hist_complete: bool = True
 
 
 def rc_string(kmer: str) -> str:
@@ -146,15 +150,20 @@ class QueryEngine:
             )
             frac = self.cfg.resolve_budget_frac
             budget = int(frac * self.B * self.H) if frac else None
+            ex = dict(
+                exact_hist=self.cfg.exact_attribution,
+                exact_max_rows=self.cfg.max_sweep_rows,
+            )
             self._doc_fn = make_doc_query_fn(
-                self.didx, mesh, max_hits=self.H, row_budget=budget
+                self.didx, mesh, max_hits=self.H, row_budget=budget, **ex
             )
             # plain variant (same arrays, LUT disabled) for short queries
             self.didx_plain = dataclasses.replace(
                 self.didx, lut=None, lut_p=0
             )
             self._doc_fn_plain = make_doc_query_fn(
-                self.didx_plain, mesh, max_hits=self.H, row_budget=budget
+                self.didx_plain, mesh, max_hits=self.H, row_budget=budget,
+                **ex,
             )
             return
         if self._sharded:
@@ -189,15 +198,19 @@ class QueryEngine:
             # shape after _pad_encode's slicing); 1-step variants serve
             # mixed-length batches, whose per-query masks the k-step
             # schedule cannot express
+            ex = dict(
+                exact_hist=self.cfg.exact_attribution,
+                exact_max_rows=self.cfg.max_sweep_rows,
+            )
             self._query_fn = make_sharded_query_fn(
-                self.sidx, mesh, max_hits=self.H, lut_p=0
+                self.sidx, mesh, max_hits=self.H, lut_p=0, **ex
             )
             self._query_fn_1 = make_sharded_query_fn(
-                self.sidx, mesh, max_hits=self.H, lut_p=0, kstep=1
+                self.sidx, mesh, max_hits=self.H, lut_p=0, kstep=1, **ex
             )
             self._query_fn_lut = (
                 make_sharded_query_fn(
-                    self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p
+                    self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p, **ex
                 )
                 if self.lut is not None
                 else None
@@ -205,7 +218,7 @@ class QueryEngine:
             self._query_fn_lut_1 = (
                 make_sharded_query_fn(
                     self.sidx, mesh, max_hits=self.H, lut_p=self.lut_p,
-                    kstep=1,
+                    kstep=1, **ex,
                 )
                 if self.lut is not None
                 else None
@@ -280,10 +293,20 @@ class QueryEngine:
                 rid, off, valid = resolve_intervals(
                     idx, l, u, self.H, row_budget=budget
                 )
-                hist = sample_histogram(idx, rid, valid)
+                if self.cfg.exact_attribution:
+                    from readserver_tpu.ops import exact_sample_histogram
+
+                    hist, complete = exact_sample_histogram(
+                        idx, l, u,
+                        window=codes.shape[0] * self.H,
+                        max_rows=self.cfg.max_sweep_rows,
+                    )
+                else:
+                    hist = sample_histogram(idx, rid, valid)
+                    complete = (u - l) <= self.H
                 return dict(
                     l=l, u=u, count=u - l, read_id=rid, offset=off,
-                    valid=valid, sample_hist=hist,
+                    valid=valid, sample_hist=hist, hist_complete=complete,
                 )
 
             def _count(idx, lut, codes, lengths, use_lut, use_pair):
@@ -351,6 +374,7 @@ class QueryEngine:
             merged = {
                 "count": out["count"][:nq],
                 "sample_hist": out["sample_hist"][:nq],
+                "hist_complete": out["hist_complete"][:nq],
             }
             for key in ["read_id", "offset", "valid"]:
                 merged[key] = (
@@ -577,6 +601,9 @@ class QueryEngine:
                     sample_hist=sample_hist,
                     # truncated by the per-query cap OR the global row budget
                     hits_truncated=count > len(hits),
+                    sample_hist_complete=bool(
+                        out["hist_complete"][i]
+                    ) if "hist_complete" in out else True,
                 )
             )
         return results
