@@ -26,15 +26,21 @@ def cmd_build(args) -> int:
     t0 = time.time()
     sample_ids = None
     sample_names = None
+    read_names = None
     if args.fastq or args.fasta:
         from readserver_tpu.corpus import io as cio
 
         reads = []
+        read_names = []
         records = (
             cio.read_fastq(args.fastq) if args.fastq else cio.read_fasta(args.fasta)
         )
-        for _, seq in records:
-            reads.extend(cio.normalize_read(seq, min_len=args.min_len))
+        for name, seq in records:
+            segs = cio.normalize_read(seq, min_len=args.min_len)
+            for j, s in enumerate(segs):
+                reads.append(s)
+                # N-split reads keep their ingest name, suffixed per segment
+                read_names.append(name if len(segs) == 1 else f"{name}.{j}")
     else:
         from readserver_tpu.corpus import simulate
 
@@ -45,16 +51,21 @@ def cmd_build(args) -> int:
             f"sample_{i:03d}" for i in range(int(np.max(sample_ids)) + 1)
         ]
     if args.rlo:
-        from readserver_tpu.corpus import rlo_sort
+        from readserver_tpu.corpus.io import rlo_order
 
-        reads, sample_ids = rlo_sort(reads, sample_ids)
+        order = rlo_order(reads)
+        reads = [reads[i] for i in order]
+        if sample_ids is not None:
+            sample_ids = np.asarray(sample_ids)[order]
+        if read_names is not None:
+            read_names = [read_names[i] for i in order]
     print(f"# {len(reads)} reads", file=sys.stderr)
     if args.doc_shards > 1:
         from readserver_tpu.index.cohort import build_cohort
 
         build_cohort(
             reads, sample_ids, args.doc_shards, args.out,
-            sample_names=sample_names,
+            sample_names=sample_names, read_names=read_names,
         )
         print(
             f"# built cohort of {args.doc_shards} shards, "
@@ -62,7 +73,10 @@ def cmd_build(args) -> int:
             file=sys.stderr,
         )
         return 0
-    packed = build_index(reads, sample_ids=sample_ids, sample_names=sample_names)
+    packed = build_index(
+        reads, sample_ids=sample_ids, sample_names=sample_names,
+        read_names=read_names,
+    )
     artifact.save_artifact(packed, args.out)
     print(
         f"# built n={packed.n} reads={packed.num_reads} "

@@ -61,6 +61,20 @@ def write_fasta(path: str | Path, records: Iterable[tuple[str, str]]) -> None:
             fh.write(f">{name}\n{seq}\n")
 
 
+def rlo_order(reads: list[np.ndarray]) -> np.ndarray:
+    """Reverse-lexicographic permutation of a read set (int64 [m]) —
+    callers apply it to reads AND every parallel per-read column
+    (sample ids, names, metadata)."""
+    m = len(reads)
+    maxlen = max(len(r) for r in reads)
+    # pad with 0 ($ sorts first — shorter reversed reads order first, the
+    # same tie-break the sentinel ordering gives)
+    mat = np.zeros((m, maxlen), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        mat[i, : len(r)] = r[::-1]
+    return np.lexsort(mat.T[::-1])
+
+
 def rlo_sort(
     reads: list[np.ndarray], sample_ids: np.ndarray | None = None
 ) -> tuple[list[np.ndarray], np.ndarray | None]:
@@ -78,13 +92,7 @@ def rlo_sort(
     m = len(reads)
     if m == 0:
         return reads, sample_ids
-    maxlen = max(len(r) for r in reads)
-    # pad with 0 ($ sorts first — shorter reversed reads order first, the
-    # same tie-break the sentinel ordering gives)
-    mat = np.zeros((m, maxlen), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        mat[i, : len(r)] = r[::-1]
-    order = np.lexsort(mat.T[::-1])
+    order = rlo_order(reads)
     out = [reads[i] for i in order]
     sid = sample_ids[order] if sample_ids is not None else None
     return out, sid

@@ -32,6 +32,7 @@ _ARRAYS = [
 _OPTIONAL_ARRAYS = [
     "lf", "mark_rank", "sample_pairs",
     "rank2_blocks", "C2", "rank3_blocks", "C3",
+    "name_blob", "name_offsets", "meta_blob", "meta_offsets",
 ]
 
 MANIFEST_NAME = "manifest.json"

@@ -45,6 +45,14 @@ class PackedIndex:
     corpus_packed: np.ndarray   # uint8
     read_offsets: np.ndarray    # int64 [num_reads+1] (base offsets)
     sample_names: list[str] = field(default_factory=list)
+    # read-name / per-read-metadata payload (the rest of the reference's
+    # RocksDB value, SURVEY.md §2.1 "Payload store": name + metadata per
+    # read): concatenated byte blobs + offsets, keyed by dense read id —
+    # host cold store like corpus_packed, never shipped to HBM
+    name_blob: np.ndarray | None = None     # uint8
+    name_offsets: np.ndarray | None = None  # int64 [num_reads+1]
+    meta_blob: np.ndarray | None = None     # uint8 (opaque bytes per read)
+    meta_offsets: np.ndarray | None = None  # int64 [num_reads+1]
     # fast-resolve tier (optional): precomputed LF array with sampled
     # (read_id, offset) pairs — one gather per walk step, walk bound =
     # sample_rate instead of max read length
@@ -73,6 +81,20 @@ class PackedIndex:
         allb = alphabet.unpack_2bit(self.corpus_packed, int(self.read_offsets[-1]))
         return allb[s:e]
 
+    def read_name(self, read_id: int) -> str | None:
+        """Stored read name (None when built without names)."""
+        if self.name_blob is None:
+            return None
+        return bytes(
+            blob_item(self.name_blob, self.name_offsets, read_id)
+        ).decode("utf-8", errors="replace")
+
+    def read_meta(self, read_id: int) -> bytes | None:
+        """Opaque per-read metadata bytes (None when absent)."""
+        if self.meta_blob is None:
+            return None
+        return bytes(blob_item(self.meta_blob, self.meta_offsets, read_id))
+
     def memory_bytes(self) -> dict[str, int]:
         return {
             "rank_blocks": self.rank_blocks.nbytes,
@@ -81,6 +103,22 @@ class PackedIndex:
             "read_to_sample": self.read_to_sample.nbytes,
             "corpus_packed": self.corpus_packed.nbytes,
         }
+
+
+def pack_blob_column(items: Sequence[str | bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-length per-read values → (blob uint8, offsets int64 [m+1]).
+
+    Dense-integer-keyed replacement for a KV column: ``blob[off[i]:off[i+1]]``
+    is item i.  Strings are stored utf-8."""
+    enc = [v.encode() if isinstance(v, str) else bytes(v) for v in items]
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(v) for v in enc], out=offsets[1:])
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8).copy()
+    return blob, offsets
+
+
+def blob_item(blob: np.ndarray, offsets: np.ndarray, i: int) -> np.ndarray:
+    return blob[int(offsets[i]) : int(offsets[i + 1])]
 
 
 def concat_with_sentinels(
@@ -137,6 +175,8 @@ def build_index(
     sample_rate: int = 32,
     pair_rank: bool = True,
     kstep: int | None = None,
+    read_names: Sequence[str] | None = None,
+    read_meta: Sequence[bytes] | None = None,
 ) -> PackedIndex:
     """``kstep`` picks the deepest k-step search tier to build (1, 2, or
     3); None auto-selects 3 below :data:`TRIPLE_TIER_MAX_N` (the 64-plane
@@ -232,6 +272,16 @@ def build_index(
     read_offsets = np.zeros(m + 1, dtype=np.int64)
     np.cumsum(lengths, out=read_offsets[1:])
 
+    name_blob = name_offsets = meta_blob = meta_offsets = None
+    if read_names is not None:
+        if len(read_names) != m:
+            raise ValueError("read_names must have one entry per read")
+        name_blob, name_offsets = pack_blob_column(read_names)
+    if read_meta is not None:
+        if len(read_meta) != m:
+            raise ValueError("read_meta must have one entry per read")
+        meta_blob, meta_offsets = pack_blob_column(read_meta)
+
     return PackedIndex(
         config=config,
         n=n,
@@ -257,4 +307,8 @@ def build_index(
         C2=C2,
         rank3_blocks=rank3_blocks,
         C3=C3,
+        name_blob=name_blob,
+        name_offsets=name_offsets,
+        meta_blob=meta_blob,
+        meta_offsets=meta_offsets,
     )

@@ -89,6 +89,7 @@ def build_cohort(
     sample_names: Sequence[str] | None = None,
     config: IndexConfig | None = None,
     resume: bool = True,
+    read_names: Sequence[str] | None = None,
     **build_kw,
 ) -> Path:
     """Partition an in-memory corpus and build/save each shard in turn.
@@ -121,6 +122,7 @@ def build_cohort(
             sample_ids=sample_ids[lo:hi],
             config=config,
             sample_names=names,  # global sample-id space on every shard
+            read_names=read_names[lo:hi] if read_names is not None else None,
             **build_kw,
         )
         # per-shard num_samples must span the GLOBAL sample space so the

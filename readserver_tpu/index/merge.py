@@ -39,6 +39,40 @@ def _reads_of(index: PackedIndex) -> list[np.ndarray]:
     ]
 
 
+def _concat_blobs(
+    indexes: Sequence[PackedIndex], blob_attr: str, off_attr: str
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Concatenate per-read blob columns (names/metadata) in merge read
+    order; None when any input lacks the column."""
+    if any(getattr(i, blob_attr) is None for i in indexes):
+        return None, None
+    parts: list[np.ndarray] = []
+    total_reads = sum(i.num_reads for i in indexes)
+    out_off = np.zeros(total_reads + 1, dtype=np.int64)
+    pos, base = 0, 0
+    for idx in indexes:
+        b = np.asarray(getattr(idx, blob_attr), dtype=np.uint8)
+        o = np.asarray(getattr(idx, off_attr), dtype=np.int64)
+        m = len(o) - 1
+        out_off[pos + 1 : pos + 1 + m] = base + o[1:]
+        parts.append(b[: int(o[-1])])
+        pos += m
+        base += int(o[-1])
+    blob = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+    return blob, out_off
+
+
+def _carry_payload(merged: PackedIndex, indexes: Sequence[PackedIndex]) -> PackedIndex:
+    """Attach concatenated read-name/metadata columns to a merged index."""
+    merged.name_blob, merged.name_offsets = _concat_blobs(
+        indexes, "name_blob", "name_offsets"
+    )
+    merged.meta_blob, merged.meta_offsets = _concat_blobs(
+        indexes, "meta_blob", "meta_offsets"
+    )
+    return merged
+
+
 def merge_indexes(
     indexes: Sequence[PackedIndex],
     config: IndexConfig | None = None,
@@ -63,7 +97,7 @@ def merge_indexes(
         names = list(idx.sample_names) or [f"sample_{offset}"]
         sample_names.extend(names[:ns] + [f"sample_{offset + i}" for i in range(len(names), ns)])
         offset += ns
-    return build_index(
+    merged = build_index(
         reads,
         sample_ids=np.concatenate(sample_ids),
         config=config or indexes[0].config,
@@ -71,6 +105,7 @@ def merge_indexes(
         fast_resolve=fast_resolve,
         sample_rate=indexes[0].sample_rate or 32,
     )
+    return _carry_payload(merged, indexes)
 
 
 def merge_bwts(
@@ -174,7 +209,7 @@ def merge_indexes_interleave(
     read_lengths = np.concatenate(lengths)
     read_offsets = np.zeros(acc_reads + 1, dtype=np.int64)
     np.cumsum(read_lengths, out=read_offsets[1:])
-    return pack_from_bwt(
+    merged = pack_from_bwt(
         acc_bwt,
         dollar_map=acc_dollar,
         read_to_sample=np.concatenate(sample_ids),
@@ -186,3 +221,4 @@ def merge_indexes_interleave(
         fast_resolve=fast_resolve,
         sample_rate=sample_rate,
     )
+    return _carry_payload(merged, indexes)

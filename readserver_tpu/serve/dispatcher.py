@@ -32,6 +32,7 @@ class Dispatcher:
         self.metrics = metrics or Metrics()
         self._queue: list[tuple[str, bool, asyncio.Future]] = []
         self._wake: asyncio.Event = asyncio.Event()
+        self._full: asyncio.Event = asyncio.Event()  # fires on B-th arrival
         self._task: asyncio.Task | None = None
         self._closed = False
         # dedicated single thread for device calls: one device, one batch in
@@ -47,6 +48,7 @@ class Dispatcher:
     async def stop(self) -> None:
         self._closed = True
         self._wake.set()
+        self._full.set()
         if self._task is not None:
             await self._task
             self._task = None
@@ -76,7 +78,34 @@ class Dispatcher:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._queue.append((kmer, counts_only, fut))
         self._wake.set()
+        if len(self._queue) >= self.engine.B:
+            self._full.set()  # wake the fill loop early — batch is full
         return await fut
+
+    async def submit_many(
+        self,
+        kmers: list[str],
+        counts_only: bool = False,
+        both_strands: bool = False,
+    ) -> list[QueryResult]:
+        """Enqueue a whole client batch at once (the POST /batch wire
+        path): one wake, queries fly together instead of trickling in."""
+        if both_strands:
+            return list(
+                await asyncio.gather(*[
+                    self.submit(k, counts_only, both_strands=True)
+                    for k in kmers
+                ])
+            )
+        loop = asyncio.get_running_loop()
+        futs = [loop.create_future() for _ in kmers]
+        self._queue.extend(
+            (k, counts_only, f) for k, f in zip(kmers, futs)
+        )
+        self._wake.set()
+        if len(self._queue) >= self.engine.B:
+            self._full.set()
+        return list(await asyncio.gather(*futs))
 
     async def _run(self) -> None:
         deadline_s = self.engine.cfg.batch_deadline_ms / 1e3
@@ -88,13 +117,21 @@ class Dispatcher:
                 break
             if not self._queue:
                 continue
-            # fill window: wait up to the deadline for more arrivals
+            # fill window: sleep until the B-th arrival fires _full or the
+            # deadline lapses — no polling (the old sleep(deadline/8) loop
+            # added up to deadline/8 of avoidable jitter per batch)
             t_first = time.perf_counter()
-            while (
-                len(self._queue) < B
-                and time.perf_counter() - t_first < deadline_s
-            ):
-                await asyncio.sleep(deadline_s / 8)
+            while len(self._queue) < B:
+                remaining = deadline_s - (time.perf_counter() - t_first)
+                if remaining <= 0 or self._closed:
+                    break
+                self._full.clear()
+                try:
+                    await asyncio.wait_for(
+                        self._full.wait(), timeout=remaining
+                    )
+                except asyncio.TimeoutError:
+                    break
             batch, self._queue = self._queue[:B], self._queue[B:]
             if self._queue:
                 self._wake.set()  # more waiting — go again immediately

@@ -566,27 +566,41 @@ class QueryEngine:
                 for i, km in enumerate(kmers)
             ]
         out = self._run(kmers, counts_only=False)
+        # vectorized hit assembly: one NumPy gather maps every hit's read
+        # id to its sample id (the old path called _sample_of per hit —
+        # ~260k Python dict lookups per full batch on the serving path)
+        rid_m = np.asarray(out["read_id"])
+        off_m = np.asarray(out["offset"])
+        val_m = np.asarray(out["valid"]).astype(bool)
+        rid_safe = np.clip(rid_m, 0, None)
+        if self._doc:
+            base = np.asarray(self._read_base, dtype=np.int64)
+            part = np.searchsorted(base, rid_safe, side="right") - 1
+            sample_m = np.zeros(rid_m.shape, dtype=np.int64)
+            for s, p_ in enumerate(self.partitions):
+                msk = val_m & (part == s)
+                if msk.any():
+                    sample_m[msk] = np.asarray(p_.read_to_sample)[
+                        rid_safe[msk] - base[s]
+                    ]
+        else:
+            sample_m = np.asarray(self.packed.read_to_sample)[rid_safe]
+        hist_m = np.asarray(out["sample_hist"])
         results = []
         for i, km in enumerate(kmers):
             count = int(out["count"][i])
-            hits = []
-            for r, o, v in zip(
-                out["read_id"][i], out["offset"][i], out["valid"][i]
-            ):
-                if v:
-                    rid = int(r)
-                    hits.append(
-                        dict(
-                            read_id=rid,
-                            sample_id=self._sample_of(rid),
-                            offset=int(o),
-                        )
-                    )
-            hist = out["sample_hist"][i]
+            v = val_m[i]
+            hits = [
+                dict(read_id=r, sample_id=s, offset=o)
+                for r, s, o in zip(
+                    rid_m[i][v].tolist(),
+                    sample_m[i][v].tolist(),
+                    off_m[i][v].tolist(),
+                )
+            ]
+            nz = np.nonzero(hist_m[i])[0]
             sample_hist = {
-                self.sample_names[s]: int(c)
-                for s, c in enumerate(hist)
-                if c > 0
+                self.sample_names[int(s)]: int(hist_m[i][s]) for s in nz
             }
             results.append(
                 QueryResult(
@@ -614,6 +628,23 @@ class QueryEngine:
             s, local = self._locate(read_id)
             return alphabet.decode(self.partitions[s].extract_read(local))
         return alphabet.decode(self.packed.extract_read(read_id))
+
+    def read_name(self, read_id: int) -> str:
+        """Stored ingest name (FASTA/FASTQ header); synthesized when the
+        artifact was built without names."""
+        if self._doc:
+            s, local = self._locate(read_id)
+            nm = self.partitions[s].read_name(local)
+        else:
+            nm = self.packed.read_name(read_id)
+        return nm if nm is not None else f"read_{read_id}"
+
+    def read_meta(self, read_id: int) -> bytes | None:
+        """Opaque per-read metadata bytes (None when absent)."""
+        if self._doc:
+            s, local = self._locate(read_id)
+            return self.partitions[s].read_meta(local)
+        return self.packed.read_meta(read_id)
 
 
 class MultiEngine:
@@ -706,3 +737,12 @@ class MultiEngine:
     def read_sequence(self, read_id: int) -> str:
         s, local = self._locate(read_id)
         return alphabet.decode(self.partitions[s].extract_read(local))
+
+    def read_name(self, read_id: int) -> str:
+        s, local = self._locate(read_id)
+        nm = self.partitions[s].read_name(local)
+        return nm if nm is not None else f"read_{read_id}"
+
+    def read_meta(self, read_id: int) -> bytes | None:
+        s, local = self._locate(read_id)
+        return self.partitions[s].read_meta(local)

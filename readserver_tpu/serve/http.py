@@ -3,33 +3,46 @@
 API surface mirrors the reference server's query endpoints
 (SURVEY.md §1 L4: k-mer → present?/count/reads/samples):
 
-    GET /count?kmer=ACGT...      → {"kmer": ..., "count": N}
-    GET /reads?kmer=...          → hits with read_id/sample/offset[/sequence]
-    GET /samples?kmer=...        → per-sample hit counts
+    GET  /count?kmer=ACGT...     → {"kmer": ..., "count": N}
+    GET  /reads?kmer=...         → hits with read_id/name/sample/offset
+                                   [&sequences=1 adds read text]
+    GET  /samples?kmer=...       → per-sample hit counts (exact — not
+                                   capped at max_hits)
     (&both_strands=1 on any of the above also searches the reverse
      complement; hits gain a "strand" tag)
-    GET /health                  → liveness (canary query through the device)
-    GET /stats                   → dispatcher metrics
+    POST /batch                  → {"kmers": [...], "mode": "count"|
+                                   "reads"|"samples", "both_strands": b}
+                                   — one JSON body, one batched answer
+                                   list (the wire-level batch the engine's
+                                   device batching deserves)
+    GET  /read?id=N              → name/sequence/sample/metadata by read
+                                   id (the RocksDB Get of the reference)
+    GET  /health                 → liveness (canary query through the device)
+    GET  /stats                  → dispatcher metrics
 
-JSON in/out; GET with query strings, as the reference's REST front end.
+JSON in/out.  HTTP/1.1 keep-alive: connections serve many requests.
 """
 
 from __future__ import annotations
 
 import asyncio
+import base64
 import json
 from urllib.parse import parse_qs, urlparse
 
 from readserver_tpu.serve.dispatcher import Dispatcher
 
+MAX_BODY = 8 << 20
 
-def _resp(status: str, body: dict) -> bytes:
+
+def _resp(status: str, body: dict, keep: bool = True) -> bytes:
     payload = json.dumps(body).encode()
+    conn = "keep-alive" if keep else "close"
     return (
         f"HTTP/1.1 {status}\r\n"
         f"Content-Type: application/json\r\n"
         f"Content-Length: {len(payload)}\r\n"
-        f"Connection: close\r\n\r\n"
+        f"Connection: {conn}\r\n\r\n"
     ).encode() + payload
 
 
@@ -56,24 +69,52 @@ class RestServer:
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
         try:
-            request_line = await asyncio.wait_for(reader.readline(), timeout=10)
-            # drain headers
-            while True:
-                line = await asyncio.wait_for(reader.readline(), timeout=10)
-                if line in (b"\r\n", b"\n", b""):
+            while True:  # keep-alive: serve requests until client closes
+                request_line = await asyncio.wait_for(
+                    reader.readline(), timeout=30
+                )
+                if not request_line.strip():
                     break
-            parts = request_line.decode("latin1").split()
-            if len(parts) < 2 or parts[0] != "GET":
-                writer.write(_resp("405 Method Not Allowed",
-                                   {"error": "GET only"}))
-                return
-            url = urlparse(parts[1])
-            q = {k: v[0] for k, v in parse_qs(url.query).items()}
-            writer.write(await self._route(url.path, q))
+                clen, want_close = 0, False
+                while True:
+                    line = await asyncio.wait_for(reader.readline(), timeout=10)
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    low = line.decode("latin1").lower()
+                    if low.startswith("content-length:"):
+                        clen = int(low.split(":", 1)[1])
+                    elif low.startswith("connection:") and "close" in low:
+                        want_close = True
+                parts = request_line.decode("latin1").split()
+                if len(parts) < 2 or parts[0] not in ("GET", "POST"):
+                    writer.write(_resp("405 Method Not Allowed",
+                                       {"error": "GET/POST only"}, keep=False))
+                    break
+                body = b""
+                if clen:
+                    if clen > MAX_BODY:
+                        writer.write(_resp("413 Payload Too Large",
+                                           {"error": "body too large"},
+                                           keep=False))
+                        break
+                    body = await asyncio.wait_for(
+                        reader.readexactly(clen), timeout=30
+                    )
+                url = urlparse(parts[1])
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                writer.write(
+                    await self._route(url.path, q, parts[0], body)
+                )
+                await writer.drain()
+                if want_close:
+                    break
+        except (asyncio.TimeoutError, asyncio.IncompleteReadError,
+                ConnectionError):
+            pass
         except Exception as e:
             try:
                 writer.write(_resp("500 Internal Server Error",
-                                   {"error": str(e)}))
+                                   {"error": str(e)}, keep=False))
             except Exception:
                 pass
         finally:
@@ -83,7 +124,83 @@ class RestServer:
             except Exception:
                 pass
 
-    async def _route(self, path: str, q: dict[str, str]) -> bytes:
+    def _hit_payload(self, r, sequences: bool) -> list[dict]:
+        eng = self.dispatcher.engine
+        hits = [{**h, "name": eng.read_name(h["read_id"])} for h in r.hits]
+        if sequences:
+            hits = [
+                {**h, "sequence": eng.read_sequence(h["read_id"])}
+                for h in hits
+            ]
+        return hits
+
+    def _result_payload(self, r, mode: str, sequences: bool) -> dict:
+        if mode == "count":
+            return {"kmer": r.kmer, "count": r.count}
+        if mode == "samples":
+            return {
+                "kmer": r.kmer,
+                "count": r.count,
+                "samples": r.sample_hist,
+                "samples_exact": r.sample_hist_complete,
+                "hits_truncated": r.hits_truncated,
+            }
+        return {
+            "kmer": r.kmer,
+            "count": r.count,
+            "hits": self._hit_payload(r, sequences),
+            "hits_truncated": r.hits_truncated,
+        }
+
+    async def _route(
+        self, path: str, q: dict[str, str], method: str = "GET",
+        body: bytes = b"",
+    ) -> bytes:
+        if path == "/batch" and method == "POST":
+            try:
+                req = json.loads(body or b"{}")
+                kmers = req.get("kmers", [])
+                if not isinstance(kmers, list) or not kmers:
+                    return _resp("400 Bad Request", {"error": "no kmers"})
+                mode = req.get("mode", "count")
+                if mode not in ("count", "reads", "samples"):
+                    return _resp("400 Bad Request",
+                                 {"error": f"bad mode {mode!r}"})
+                results = await self.dispatcher.submit_many(
+                    kmers,
+                    counts_only=(mode == "count"),
+                    both_strands=bool(req.get("both_strands")),
+                )
+                seqs = bool(req.get("sequences"))
+                return _resp("200 OK", {
+                    "results": [
+                        self._result_payload(r, mode, seqs) for r in results
+                    ]
+                })
+            except ValueError as e:
+                return _resp("400 Bad Request", {"error": str(e)})
+        if path == "/read":
+            try:
+                rid = int(q.get("id", ""))
+            except ValueError:
+                return _resp("400 Bad Request", {"error": "bad id"})
+            eng = self.dispatcher.engine
+            try:
+                seq = eng.read_sequence(rid)
+            except (IndexError, ValueError):
+                return _resp("404 Not Found", {"error": f"no read {rid}"})
+            meta = eng.read_meta(rid)
+            out = {
+                "read_id": rid,
+                "name": eng.read_name(rid),
+                "sequence": seq,
+                "sample": eng.sample_names[eng._sample_of(rid)]
+                if hasattr(eng, "_sample_of")
+                else None,
+            }
+            if meta is not None:
+                out["meta_b64"] = base64.b64encode(meta).decode()
+            return _resp("200 OK", out)
         if path == "/health":
             try:
                 await self.dispatcher.submit("A", counts_only=True)
@@ -118,43 +235,16 @@ class RestServer:
             if not kmer:
                 return _resp("400 Bad Request", {"error": "missing kmer"})
             both = q.get("both_strands") == "1"
+            mode = path.lstrip("/")
             try:
-                if path == "/count":
-                    r = await self.dispatcher.submit(
-                        kmer, counts_only=True, both_strands=both
-                    )
-                    return _resp("200 OK", {"kmer": r.kmer, "count": r.count})
                 r = await self.dispatcher.submit(
-                    kmer, counts_only=False, both_strands=both
+                    kmer, counts_only=(mode == "count"), both_strands=both
                 )
-                if path == "/samples":
-                    return _resp(
-                        "200 OK",
-                        {
-                            "kmer": r.kmer,
-                            "count": r.count,
-                            "samples": r.sample_hist,
-                            "hits_truncated": r.hits_truncated,
-                        },
-                    )
-                hits = [
-                    {**h, "name": f"read_{h['read_id']}"} for h in r.hits
-                ]
-                if q.get("sequences") == "1":
-                    hits = [
-                        {**h,
-                         "sequence": self.dispatcher.engine.read_sequence(
-                             h["read_id"])}
-                        for h in hits
-                    ]
                 return _resp(
                     "200 OK",
-                    {
-                        "kmer": r.kmer,
-                        "count": r.count,
-                        "hits": hits,
-                        "hits_truncated": r.hits_truncated,
-                    },
+                    self._result_payload(
+                        r, mode, q.get("sequences") == "1"
+                    ),
                 )
             except ValueError as e:
                 return _resp("400 Bad Request", {"error": str(e)})

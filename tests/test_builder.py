@@ -88,3 +88,37 @@ def test_extract_read(built, tiny_corpus):
     _, idx = built
     for i in [0, len(tiny_corpus.reads) // 2, len(tiny_corpus.reads) - 1]:
         assert np.array_equal(idx.extract_read(i), tiny_corpus.reads[i])
+
+
+def test_read_names_roundtrip_artifact(tmp_path, tiny_corpus):
+    from readserver_tpu.index import artifact
+
+    reads = tiny_corpus.reads[:20]
+    names = [f"r{i:03d}" for i in range(20)]
+    meta = [bytes([i]) * (i % 4) for i in range(20)]
+    packed = build_index(reads, read_names=names, read_meta=meta)
+    artifact.save_artifact(packed, tmp_path / "idx")
+    loaded = artifact.load_artifact(tmp_path / "idx")
+    for i in (0, 7, 19):
+        assert loaded.read_name(i) == names[i]
+        assert loaded.read_meta(i) == meta[i]
+    # absent payload stays absent
+    bare = build_index(reads)
+    assert bare.read_name(0) is None and bare.read_meta(0) is None
+
+
+def test_read_names_survive_merge(tiny_corpus):
+    from readserver_tpu.index.merge import merge_indexes, merge_indexes_interleave
+
+    a = build_index(
+        tiny_corpus.reads[:10], read_names=[f"a{i}" for i in range(10)]
+    )
+    b = build_index(
+        tiny_corpus.reads[10:25], read_names=[f"b{i}" for i in range(15)]
+    )
+    for fn in (merge_indexes, merge_indexes_interleave):
+        m = fn([a, b])
+        assert m.read_name(0) == "a0"
+        assert m.read_name(9) == "a9"
+        assert m.read_name(10) == "b0"
+        assert m.read_name(24) == "b14"

@@ -185,3 +185,95 @@ def test_rest_count_parity_corpus(engine, tiny_corpus):
     for body in asyncio.run(go()):
         want = naive_count(tiny_corpus.reads, body["kmer"])
         assert body["count"] == want
+
+
+def test_rest_batch_post_and_keepalive(engine, fm, tiny_corpus):
+    """POST /batch answers a whole query list in one request, and one
+    keep-alive connection serves many requests (the wire-level batching
+    the device batching deserves)."""
+    import http.client
+
+    kmers = _kmer_strs(tiny_corpus, 8, seed=36)
+
+    async def go():
+        server = RestServer(Dispatcher(engine), "127.0.0.1", 0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        loop = asyncio.get_running_loop()
+
+        def batch_and_keepalive():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            body = json.dumps({"kmers": kmers, "mode": "count"})
+            conn.request("POST", "/batch", body=body,
+                         headers={"Content-Type": "application/json"})
+            r1 = json.loads(conn.getresponse().read())
+            # same connection, second request (keep-alive)
+            body = json.dumps({"kmers": kmers[:3], "mode": "samples"})
+            conn.request("POST", "/batch", body=body)
+            r2 = json.loads(conn.getresponse().read())
+            # and a GET on the same connection
+            conn.request("GET", f"/count?kmer={kmers[0]}")
+            r3 = json.loads(conn.getresponse().read())
+            conn.close()
+            return r1, r2, r3
+
+        out = await loop.run_in_executor(None, batch_and_keepalive)
+        await server.stop()
+        return out
+
+    r1, r2, r3 = asyncio.run(go())
+    assert len(r1["results"]) == len(kmers)
+    for res in r1["results"]:
+        assert res["count"] == fm.count(res["kmer"])
+    for res in r2["results"]:
+        assert res["samples_exact"]
+        assert sum(res["samples"].values()) == res["count"]
+    assert r3["count"] == fm.count(kmers[0])
+
+
+def test_rest_read_endpoint_and_names(tiny_corpus):
+    """/read returns name/sequence/sample by id; /reads hits carry stored
+    ingest names (the RocksDB name/metadata tier, SURVEY.md §2.1)."""
+    reads = tiny_corpus.reads[:50]
+    names = [f"SRR000.{i}/1" for i in range(len(reads))]
+    meta = [f"flowcell=F{i%3}".encode() for i in range(len(reads))]
+    packed = build_index(
+        reads,
+        sample_ids=tiny_corpus.sample_ids[:50],
+        read_names=names,
+        read_meta=meta,
+    )
+    eng = QueryEngine(packed, ServeConfig(batch_size=16, max_hits=16))
+    assert eng.read_name(7) == "SRR000.7/1"
+    assert eng.read_meta(7) == b"flowcell=F1"
+
+    async def go():
+        server = RestServer(Dispatcher(eng), "127.0.0.1", 0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        loop = asyncio.get_running_loop()
+
+        def fetch(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=30
+            ) as r:
+                return json.loads(r.read())
+
+        km = alphabet.decode(reads[3][: tiny_corpus.spec.kmer_len])
+        out = {
+            "read": await loop.run_in_executor(None, fetch, "/read?id=3"),
+            "hits": await loop.run_in_executor(
+                None, fetch, f"/reads?kmer={km}"
+            ),
+        }
+        await server.stop()
+        return out
+
+    out = asyncio.run(go())
+    assert out["read"]["name"] == "SRR000.3/1"
+    assert out["read"]["sequence"] == alphabet.decode(reads[3])
+    import base64
+
+    assert base64.b64decode(out["read"]["meta_b64"]) == b"flowcell=F0"
+    by_id = {h["read_id"]: h for h in out["hits"]["hits"]}
+    assert 3 in by_id and by_id[3]["name"] == "SRR000.3/1"
