@@ -115,18 +115,43 @@ def plan_tiers(
     return TierPlan(frozenset(keep), base, tiers, budget_bytes)
 
 
+# nameplate HBM per chip when the PJRT plugin exposes no memory_stats
+# (the axon tunnel doesn't) — substring-matched against device_kind
+_HBM_BY_KIND = (
+    ("v5 lite", 16 << 30),
+    ("v5e", 16 << 30),
+    ("v5p", 95 << 30),
+    ("v4", 32 << 30),
+    ("v6", 32 << 30),
+)
+
+
 def device_budget_bytes(headroom: float = 0.92) -> int | None:
     """Detect the local accelerator's HBM limit (None when unknown — e.g.
-    the CPU-simulated test mesh, where the budget is host RAM)."""
+    the CPU-simulated test mesh, where the budget is host RAM).
+
+    Overcommitting HBM on the tunneled chip doesn't OOM loudly — it pages
+    and turns every transfer glacial (measured: the 18.7 GiB chr20 full
+    tier set made one 1 MiB device→host fetch take 20+ minutes) — so when
+    ``memory_stats`` is unavailable the nameplate table stands in.
+    """
     try:
         import jax
 
         dev = jax.local_devices()[0]
         if dev.platform == "cpu":
             return None
-        stats = dev.memory_stats()
+        stats = None
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            pass
         if stats and stats.get("bytes_limit"):
             return int(stats["bytes_limit"] * headroom)
+        kind = getattr(dev, "device_kind", "").lower()
+        for sub, cap in _HBM_BY_KIND:
+            if sub in kind:
+                return int(cap * headroom)
     except Exception:
         pass
     return None

@@ -712,11 +712,13 @@ class MultiEngine:
             hits: list[dict] = []
             hist: dict[str, int] = {}
             truncated = False
+            complete = True
             count = 0
             for s, res in enumerate(per):
                 r = res[i]
                 count += r.count
                 truncated |= r.hits_truncated
+                complete &= r.sample_hist_complete
                 for h in r.hits:
                     hits.append(
                         {**h, "read_id": h["read_id"] + self._read_base[s]}
@@ -730,6 +732,7 @@ class MultiEngine:
                     hits=hits,
                     sample_hist=hist,
                     hits_truncated=truncated,
+                    sample_hist_complete=complete,
                 )
             )
         return out
