@@ -6,7 +6,7 @@ surface (SURVEY.md §3.4-§3.5) as one entry point.
     python -m readserver_tpu.cli query --index data/idx --kmer ACGTT --hits
     python -m readserver_tpu.cli serve --index data/idx --port 8080
     python -m readserver_tpu.cli simulate --config lambda --out reads.fasta
-    python -m readserver_tpu.cli merge s1_idx s2_idx --interleave --out pop
+    python -m readserver_tpu.cli merge s1_idx s2_idx --out pop
     python -m readserver_tpu.cli import-bwt --bwt pop.rlebwt --out data/idx
 """
 
@@ -168,7 +168,7 @@ def cmd_merge(args) -> int:
 
     t0 = time.time()
     parts = [artifact.load_artifact(p, mmap=False) for p in args.inputs]
-    fn = merge_indexes_interleave if args.interleave else merge_indexes
+    fn = merge_indexes if args.rebuild else merge_indexes_interleave
     merged = fn(parts)
     artifact.save_artifact(merged, args.out)
     print(
@@ -298,8 +298,11 @@ def main(argv=None) -> int:
     mg.add_argument("inputs", nargs="+", help="input artifact paths")
     mg.add_argument("--out", required=True)
     mg.add_argument("--interleave", action="store_true",
-                    help="BWT interleave merge (no suffix re-sort) instead "
-                         "of read-level rebuild")
+                    help="(default; kept for compatibility) BWT interleave "
+                         "merge — no suffix re-sort")
+    mg.add_argument("--rebuild", action="store_true",
+                    help="read-level rebuild merge instead of interleave "
+                         "(re-sorts all suffixes; only for tiny inputs)")
     mg.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("serve", help="REST server over an index artifact")

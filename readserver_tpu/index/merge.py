@@ -30,6 +30,19 @@ from readserver_tpu.index.builder import PackedIndex, build_index
 from readserver_tpu.index.from_bwt import pack_from_bwt
 
 
+def _dedupe_names(names: list[str]) -> list[str]:
+    """Distinct post-merge sample names: inputs built with default names
+    would otherwise collide ('sample_0' twice) and collapse the per-sample
+    histogram dict keys downstream; duplicates get a '.2', '.3'… suffix."""
+    seen: dict[str, int] = {}
+    out = []
+    for nm in names:
+        k = seen.get(nm, 0) + 1
+        seen[nm] = k
+        out.append(nm if k == 1 else f"{nm}.{k}")
+    return out
+
+
 def _reads_of(index: PackedIndex) -> list[np.ndarray]:
     total = int(index.read_offsets[-1])
     allb = alphabet.unpack_2bit(np.asarray(index.corpus_packed), total)
@@ -101,7 +114,7 @@ def merge_indexes(
         reads,
         sample_ids=np.concatenate(sample_ids),
         config=config or indexes[0].config,
-        sample_names=sample_names,
+        sample_names=_dedupe_names(sample_names),
         fast_resolve=fast_resolve,
         sample_rate=indexes[0].sample_rate or 32,
     )
@@ -216,7 +229,7 @@ def merge_indexes_interleave(
         read_lengths=read_lengths.astype(np.int32),
         corpus_packed=alphabet.pack_2bit(np.concatenate(bases)),
         read_offsets=read_offsets,
-        sample_names=sample_names,
+        sample_names=_dedupe_names(sample_names),
         config=config,
         fast_resolve=fast_resolve,
         sample_rate=sample_rate,

@@ -433,11 +433,65 @@ class _ShardLocal:
         v = jnp.take(self.spairs, loc, axis=0)
         return jax.lax.psum(jnp.where(inr[:, None], v, 0), "shard")
 
+    # ------------------------------------------ fused terminal collectives
+    # The resolve walk's terminal lookups are independent pairs; fusing
+    # each pair into one concatenated psum halves the collective COUNT of
+    # the tail (4 → 2) without changing any value — masked contributions
+    # compose because every element is nonzero on at most one shard.
+
+    def lf_and_mark_global(
+        self, i: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """(raw LF int32 [X], mark rank int64 [X]) in ONE psum."""
+        X = i.shape[0]
+        inr = (i >= self.start) & (i < self.start + self.len)
+        loci = jnp.clip(
+            i - self.start, 0, jnp.maximum(self.len - 1, 0)
+        ).astype(jnp.int32)
+        v = jnp.where(inr, jnp.take(self.lf, loci, axis=0), 0)
+        locc = jnp.clip(i - self.start, 0, self.len).astype(jnp.int32)
+        r = occ_rows(
+            self.mark_table,
+            jnp.zeros_like(locc),
+            locc,
+            rows_per_symbol=self.mark_table.shape[0],
+            log2_block=self.meta.log2_block,
+            words_per_block=self.meta.words_per_block,
+        )
+        both = jax.lax.psum(
+            jnp.concatenate([v.astype(jnp.int64), r.astype(jnp.int64)]),
+            "shard",
+        )
+        return both[:X].astype(jnp.int32), both[X:]
+
+    def dollar_and_pair_global(
+        self, dr: jax.Array, slot: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """(read id int32 [X], (rid, off) int32 [X,2]) in ONE psum."""
+        X = dr.shape[0]
+        inr_d = (dr >= self.dstart) & (dr < self.dstart + self.dlen)
+        locd = jnp.clip(
+            dr - self.dstart, 0, jnp.maximum(self.dlen - 1, 0)
+        ).astype(jnp.int32)
+        vd = jnp.where(inr_d, jnp.take(self.dollar_chunk, locd, axis=0), 0)
+        inr_s = (slot >= self.sstart) & (slot < self.sstart + self.slen)
+        locs = jnp.clip(
+            slot - self.sstart, 0, jnp.maximum(self.slen - 1, 0)
+        ).astype(jnp.int32)
+        vp = jnp.where(
+            inr_s[:, None], jnp.take(self.spairs, locs, axis=0), 0
+        )
+        cat = jax.lax.psum(
+            jnp.concatenate([vd, vp.reshape(-1)]), "shard"
+        )
+        return cat[:X], cat[X:].reshape(X, 2)
+
 
 def _query_body(
     sidx, lut, kmers, lengths, *,
     max_hits: int, lut_p: int, kstep: int = 1, early_exit: bool = False,
     exact_hist: bool = False, exact_max_rows: int | None = None,
+    resolve_budget: int | None = None, walk_early_exit: bool = False,
 ):
     """Full query step inside shard_map: search + resolve + attribution.
 
@@ -453,6 +507,13 @@ def _query_body(
     the k-step scan in a while_loop that stops once every interval in the
     whole (global) batch is empty — liveness is made mesh-uniform with a
     ``pmax`` over 'dp' (l/u are already shard-invariant via psum).
+
+    ``resolve_budget`` compacts valid hit lanes before the LF-walk so the
+    walk's per-step 'shard' psum width scales with real hits, not B·H
+    padding; ``walk_early_exit`` stops the walk when every lane in the
+    global batch has terminated.  Both preserve exact answers except that
+    budget-dropped lanes surface as ``hits_truncated`` (same contract as
+    the single-chip ``resolve_intervals(row_budget=...)``).
     """
     loc = _ShardLocal(sidx)
     B, K = kmers.shape
@@ -584,6 +645,27 @@ def _query_body(
     valid = (span[None, :] < (u - l)[:, None]).reshape(-1)
     rows = jnp.where(valid, rows, 0)
 
+    def run_walk(nsteps, body, state):
+        """fori_loop, or (walk_early_exit) a while_loop that stops once
+        every lane in the whole global batch terminated — done is shard-
+        invariant (derived from psum'd values), so only a scalar 'dp' pmax
+        is needed for mesh-uniform liveness.  Saves the expected ~half of
+        the walk's per-step 'shard' psum volume at the cost of one scalar
+        collective per executed step."""
+        if not walk_early_exit:
+            return jax.lax.fori_loop(0, nsteps, body, state)
+
+        def cond(st):
+            t, inner = st
+            alive = jnp.any(~inner[1]).astype(jnp.int32)  # inner[1] = done
+            return (t < nsteps) & (jax.lax.pmax(alive, "dp") > 0)
+
+        def wbody(st):
+            t, inner = st
+            return t + 1, body(t, inner)
+
+        return jax.lax.while_loop(cond, wbody, (jnp.int32(0), state))[1]
+
     def do_walk(wrows, wvalid):
         """Lockstep LF-walk over global rows → (read_id, offset)."""
         if sidx.has_fast_resolve:
@@ -602,53 +684,89 @@ def _query_body(
                 done = done | is_term
                 return cur, done, steps
 
-            cur, done, steps = jax.lax.fori_loop(
-                0, max(sidx.sample_rate, 1), fwalk, state
+            cur, done, steps = run_walk(
+                max(sidx.sample_rate, 1), fwalk, state
             )
-            raw = loc.lf_raw_global(cur)
+            # terminal: two fused psums (lf+mark_rank, then dollar+pair)
+            raw, slot = loc.lf_and_mark_global(cur)
             is_marked = raw < 0
             val = (raw & jnp.int32(0x7FFFFFFF)).astype(jnp.int64)
-            rid_d = loc.dollar_global(val)
-            slot = loc.mark_rank_global(cur)
-            pair = loc.sample_pair_global(slot)
+            rid_d, pair = loc.dollar_and_pair_global(val, slot)
             read_id = jnp.where(is_marked, pair[:, 0], rid_d)
             offset = jnp.where(is_marked, pair[:, 1] + steps, steps)
             ok = wvalid & done
             return jnp.where(ok, read_id, -1), jnp.where(ok, offset, -1)
 
+        # slow walk: carry the terminal $-rank and look the read id up
+        # ONCE after the loop — 2 psums/step (sym + occ) instead of 3
         state = (
             wrows,
             ~wvalid,
-            wrows.astype(jnp.int32) * 0 - 1,
-            wrows.astype(jnp.int32) * 0 - 1,
+            wrows * 0 - 1,                       # drank (int64)
+            wrows.astype(jnp.int32) * 0 - 1,     # offset
         )
 
         def walk(t, state):
-            cur, done, read_id, offset = state
+            cur, done, drank, offset = state
             c = loc.sym_global(cur)
             o = loc.occ_global(c, cur)
             hit = (c == 0) & ~done
-            rid = loc.dollar_global(o)
-            read_id = jnp.where(hit, rid, read_id)
+            drank = jnp.where(hit, o, drank)
             offset = jnp.where(hit, t, offset)
             done = done | (c == 0)
             nxt = jnp.take(loc.C, c) + o
             cur = jnp.where(done, cur, nxt)
-            return cur, done, read_id, offset
+            return cur, done, drank, offset
 
-        _, _, read_id, offset = jax.lax.fori_loop(
-            0, sidx.max_read_len, walk, state
+        _, done, drank, offset = run_walk(sidx.max_read_len, walk, state)
+        rid = loc.dollar_global(jnp.maximum(drank, 0))
+        ok = wvalid & done
+        return jnp.where(ok, rid, -1), jnp.where(ok, offset, -1)
+
+    F = B * H
+    if resolve_budget is not None and resolve_budget < F:
+        # row-budget compaction (ops/resolve.resolve_intervals contract):
+        # valid lanes are prefix-sum-compacted into a static budget before
+        # the walk and scattered back after.  Every per-step 'shard' psum
+        # in the walk shrinks from F to R_c lanes — the collective VOLUME
+        # now scales with actual hits, not with B·max_hits padding.
+        # Compaction itself is collective-free: rows/valid are shard-
+        # invariant (psum-derived), so every shard compacts identically.
+        R_c = resolve_budget
+        vi = valid.astype(jnp.int32)
+        pos = jnp.cumsum(vi) - vi
+        keep = valid & (pos < R_c)
+        slot = jnp.where(keep, pos, R_c)  # R_c = overflow slot, dropped
+        comp_rows = jnp.zeros(R_c, dtype=rows.dtype).at[slot].set(
+            rows, mode="drop"
         )
-        return read_id, offset
-
-    read_id, offset = do_walk(rows, valid)
+        comp_valid = jnp.zeros(R_c, dtype=bool).at[slot].set(
+            keep, mode="drop"
+        )
+        orig = jnp.full(R_c, F, dtype=jnp.int32).at[slot].set(
+            jnp.arange(F, dtype=jnp.int32), mode="drop"
+        )
+        rid_c, off_c = do_walk(comp_rows, comp_valid)
+        read_id = jnp.full(F, -1, dtype=jnp.int32).at[orig].set(
+            rid_c, mode="drop"
+        )
+        offset = jnp.full(F, -1, dtype=jnp.int32).at[orig].set(
+            off_c, mode="drop"
+        )
+        valid_w = valid & keep
+    else:
+        read_id, offset = do_walk(rows, valid)
+        valid_w = valid
     sample = loc.sample_global(jnp.clip(read_id, 0, max(m - 1, 0)))
     S = sidx.num_samples
     seg = jnp.repeat(jnp.arange(B, dtype=jnp.int32), H) * S + sample
     hist = jax.ops.segment_sum(
-        valid.astype(jnp.int32), seg, num_segments=B * S
+        valid_w.astype(jnp.int32), seg, num_segments=B * S
     ).reshape(B, S)
-    hist_complete = (u - l) <= H
+    # complete iff the interval fit the cap AND no lane was budget-dropped
+    hist_complete = ((u - l) <= H) & (
+        valid_w.reshape(B, H).sum(axis=1) == valid.reshape(B, H).sum(axis=1)
+    )
 
     if exact_hist:
         # exact attribution (no hit cap): dense sweep of the concatenated
@@ -699,7 +817,7 @@ def _query_body(
         count=u - l,
         read_id=read_id.reshape(B, H),
         offset=offset.reshape(B, H),
-        valid=valid.reshape(B, H),
+        valid=valid_w.reshape(B, H),
         sample_hist=hist,
         hist_complete=hist_complete,
     )
@@ -714,6 +832,8 @@ def make_sharded_query_fn(
     early_exit: bool = False,
     exact_hist: bool = False,
     exact_max_rows: int | None = None,
+    resolve_budget: int | None = None,
+    walk_early_exit: bool = False,
 ):
     """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
 
@@ -742,6 +862,8 @@ def make_sharded_query_fn(
             early_exit=early_exit,
             exact_hist=exact_hist,
             exact_max_rows=exact_max_rows,
+            resolve_budget=resolve_budget,
+            walk_early_exit=walk_early_exit,
         ),
         mesh=mesh,
         in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),

@@ -75,12 +75,13 @@ def query_psum_estimate(
     else:
         search = r
     if fast_resolve and sample_rate > 0:
-        # walk: 1 lf psum/step; terminal: lf + mark_rank + pair + dollar;
-        # attribution: sample gather psum
-        resolve = sample_rate + 4 + 1
+        # walk: 1 lf psum/step; terminal: 2 fused psums (lf+mark_rank,
+        # dollar+pair); attribution: sample gather psum
+        resolve = sample_rate + 2 + 1
     else:
-        # slow walk: sym + occ + dollar per step, bounded by read length
-        resolve = 3 * max_read_len + 1
+        # slow walk: sym + occ per step (the $-rank is carried and looked
+        # up once after the loop), + dollar + sample
+        resolve = 2 * max_read_len + 2
     return {"search": search, "resolve": resolve, "total": search + resolve}
 
 

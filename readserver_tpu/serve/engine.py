@@ -198,9 +198,19 @@ class QueryEngine:
             # shape after _pad_encode's slicing); 1-step variants serve
             # mixed-length batches, whose per-query masks the k-step
             # schedule cannot express
+            # resolve collective budget: per-device hit lanes compacted to
+            # frac·(B/dp)·H before the walk (psum width ∝ real hits), and
+            # the walk while_loop exits when the global batch drains
+            frac = self.cfg.resolve_budget_frac
+            dp = max(self.cfg.data_parallel, 1)
+            budget = (
+                max(int(frac * (self.B // dp) * self.H), 1) if frac else None
+            )
             ex = dict(
                 exact_hist=self.cfg.exact_attribution,
                 exact_max_rows=self.cfg.max_sweep_rows,
+                resolve_budget=budget,
+                walk_early_exit=True,
             )
             self._query_fn = make_sharded_query_fn(
                 self.sidx, mesh, max_hits=self.H, lut_p=0, **ex

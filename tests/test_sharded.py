@@ -235,3 +235,59 @@ def test_sharded_kstep_collective_accounting(packed, tiny_corpus):
     stats = collective_stats(qfn, sidx, None, codes, lengths)
     assert stats["total"] > 0 and stats["all-reduce"] > 0
     assert stats["bytes_out"] > 0
+
+
+@pytest.mark.parametrize("dp,shards", [(2, 4), (1, 8)])
+def test_sharded_resolve_budget_and_walk_exit(packed, fm, tiny_corpus, dp, shards):
+    """resolve_budget compaction + walk early-exit return bit-identical
+    answers when the budget is not binding, and the compiled walk's psum
+    volume shrinks (the VERDICT 'collective-storming' fix)."""
+    from readserver_tpu.parallel.stats import collective_stats
+
+    mesh = make_mesh(data_parallel=dp, num_shards=shards)
+    sidx = place_sharded(build_sharded(packed, shards), mesh)
+    k = tiny_corpus.spec.kmer_len
+    kmers = sample_query_kmers(tiny_corpus, 32, k, seed=77, miss_frac=0.2)
+    codes, lengths = encode_query_batch(kmers, k)
+    Bloc = 32 // dp
+
+    base_fn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    # generous budget (= all lanes could fit): answers must be identical
+    gen_fn = make_sharded_query_fn(
+        sidx, mesh, max_hits=MAX_HITS,
+        resolve_budget=Bloc * MAX_HITS - 1, walk_early_exit=True,
+    )
+    ref = {k2: np.asarray(v) for k2, v in base_fn(sidx, None, codes, lengths).items()}
+    got = {k2: np.asarray(v) for k2, v in gen_fn(sidx, None, codes, lengths).items()}
+    total_valid = int(ref["valid"].sum())
+    assert total_valid < Bloc * MAX_HITS - 1  # budget not binding here
+    for key in ["l", "u", "count", "read_id", "offset", "valid",
+                "sample_hist", "hist_complete"]:
+        assert np.array_equal(got[key], ref[key]), key
+
+    # tight budget: dropped lanes surface as incomplete, never wrong
+    tight = max(total_valid // (2 * dp), 1)
+    tight_fn = make_sharded_query_fn(
+        sidx, mesh, max_hits=MAX_HITS, resolve_budget=tight,
+        walk_early_exit=True,
+    )
+    t = {k2: np.asarray(v) for k2, v in tight_fn(sidx, None, codes, lengths).items()}
+    assert np.array_equal(t["l"], ref["l"]) and np.array_equal(t["u"], ref["u"])
+    assert int(t["valid"].sum()) <= total_valid
+    for b in range(len(kmers)):
+        for r, o, v in zip(t["read_id"][b], t["offset"][b], t["valid"][b]):
+            if v:  # every surviving hit is a true hit
+                assert (int(r), int(o)) in {
+                    fm.resolve_row(x) for x in range(ref["l"][b], ref["u"][b])
+                }
+        if t["hist_complete"][b]:
+            assert np.array_equal(t["sample_hist"][b], ref["sample_hist"][b])
+
+    # collective volume: the budgeted walk psums over fewer lanes
+    sb = collective_stats(base_fn, sidx, None, codes, lengths)
+    sg = collective_stats(
+        make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS,
+                              resolve_budget=max(Bloc * MAX_HITS // 4, 1)),
+        sidx, None, codes, lengths,
+    )
+    assert sg["bytes_out"] < sb["bytes_out"]
