@@ -32,9 +32,14 @@ def cmd_build(args) -> int:
 
         reads = []
         read_names = []
-        records = (
-            cio.read_fastq(args.fastq) if args.fastq else cio.read_fasta(args.fasta)
-        )
+        if args.fastq:
+            records = (
+                (name, seq[: cio.mott_trim_len(quals, args.qual_trim)]
+                 if args.qual_trim > 0 else seq)
+                for name, seq, quals in cio.read_fastq_quals(args.fastq)
+            )
+        else:
+            records = cio.read_fasta(args.fasta)
         for name, seq in records:
             segs = cio.normalize_read(seq, min_len=args.min_len)
             for j, s in enumerate(segs):
@@ -271,6 +276,9 @@ def main(argv=None) -> int:
     b.add_argument("--fastq", help="build from a FASTQ file instead")
     b.add_argument("--fasta", help="build from a FASTA file instead")
     b.add_argument("--min-len", type=int, default=20)
+    b.add_argument("--qual-trim", type=int, default=0,
+                   help="Mott-style 3' quality trim threshold for FASTQ "
+                        "ingest (phred; 0 = off)")
     b.add_argument("--rlo", action="store_true",
                    help="reverse-lexicographic read sort before indexing")
     b.add_argument("--doc-shards", type=int, default=1,

@@ -44,6 +44,12 @@ def read_fasta(path: str | Path) -> Iterator[tuple[str, str]]:
 
 def read_fastq(path: str | Path) -> Iterator[tuple[str, str]]:
     """Yield ``(name, sequence)`` records (qualities discarded)."""
+    for name, seq, _ in read_fastq_quals(path):
+        yield name, seq
+
+
+def read_fastq_quals(path: str | Path) -> Iterator[tuple[str, str, str]]:
+    """Yield ``(name, sequence, quality-string)`` records."""
     with _open(path) as fh:
         while True:
             header = fh.readline()
@@ -51,8 +57,35 @@ def read_fastq(path: str | Path) -> Iterator[tuple[str, str]]:
                 return
             seq = fh.readline().strip()
             fh.readline()  # '+'
-            fh.readline()  # quals
-            yield header.strip()[1:].split()[0], seq
+            quals = fh.readline().strip()
+            yield header.strip()[1:].split()[0], seq, quals
+
+
+def mott_trim_len(
+    quals: str | np.ndarray, threshold: int = 20, offset: int = 33
+) -> int:
+    """Kept-prefix length under Mott-style 3' quality trimming (the
+    reference pipeline's quality-trim stage, SURVEY.md §2.1 "Read
+    preprocessing"): choose the suffix maximizing ``Σ (threshold − q_i)``
+    and cut it; returns the full length when no suffix has positive
+    penalty.  ``quals`` is a phred string (ASCII − ``offset``) or an
+    int array of phred scores."""
+    if isinstance(quals, str):
+        q = (
+            np.frombuffer(quals.encode("ascii"), dtype=np.uint8).astype(
+                np.int32
+            )
+            - offset
+        )
+    else:
+        q = np.asarray(quals, dtype=np.int32)
+    if q.size == 0:
+        return 0
+    pen = np.cumsum((threshold - q)[::-1])
+    best = int(np.argmax(pen))
+    if pen[best] <= 0:
+        return int(q.size)
+    return int(q.size) - best - 1
 
 
 def write_fasta(path: str | Path, records: Iterable[tuple[str, str]]) -> None:

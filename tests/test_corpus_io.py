@@ -57,3 +57,42 @@ def test_rlo_counts_invariant(tiny_corpus):
     for km in [reads[0][:11], reads[5][10:21], reads[9][:15]]:
         assert fm.count(km) == naive_count(reads, km)
     assert packed.num_reads == len(reads)
+
+
+def test_mott_trim():
+    from readserver_tpu.corpus.io import mott_trim_len
+
+    # all high quality: nothing trimmed
+    assert mott_trim_len(np.full(50, 35), threshold=20) == 50
+    # low-quality tail: cut exactly at the drop
+    q = np.concatenate([np.full(40, 35), np.full(10, 5)])
+    assert mott_trim_len(q, threshold=20) == 40
+    # one bad base inside a good tail survives (penalty never net-positive)
+    q2 = np.full(50, 35)
+    q2[45] = 2
+    assert mott_trim_len(q2, threshold=20) == 50
+    # entirely bad read trims to nothing
+    assert mott_trim_len(np.full(30, 2), threshold=20) == 0
+    # phred-string form (ASCII-33): 'I'=40 good, '#'=2 bad
+    assert mott_trim_len("I" * 30 + "#" * 8, threshold=20) == 30
+    assert mott_trim_len("", threshold=20) == 0
+
+
+def test_cli_fastq_qual_trim(tmp_path):
+    from readserver_tpu import cli
+
+    fq = tmp_path / "r.fq"
+    good, bad = "ACGTACGTACGTACGTACGTACGT", "GGGGGGGG"
+    fq.write_text(
+        f"@r1\n{good}{bad}\n+\n{'I'*len(good)}{'#'*len(bad)}\n"
+        f"@r2\n{good}\n+\n{'I'*len(good)}\n"
+    )
+    out = tmp_path / "idx"
+    assert cli.main([
+        "build", "--fastq", str(fq), "--out", str(out), "--qual-trim", "20",
+    ]) == 0
+    from readserver_tpu.index import artifact
+
+    packed = artifact.load_artifact(out, mmap=False)
+    assert packed.num_reads == 2
+    assert sorted(np.asarray(packed.read_lengths).tolist()) == [24, 24]
