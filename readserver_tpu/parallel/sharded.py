@@ -67,6 +67,11 @@ class ShardedIndex:
     C2: jax.Array | None = None            # int64 [16] global, replicated
     rank3_rows: jax.Array | None = None    # uint32 [S, 64*nbl_max, row_words]
     C3: jax.Array | None = None            # int64 [64] global, replicated
+    # per-shard symbol/k-gram totals (owner-routed rank: the exterior-high
+    # contribution occ_local(len) is a table lookup instead of a gather)
+    sym_totals: jax.Array | None = None    # int64 [S, NUM_SYMBOLS]
+    totals2: jax.Array | None = None       # int64 [S, 16]
+    totals3: jax.Array | None = None       # int64 [S, 64]
     # static
     num_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -91,7 +96,7 @@ _STACKED = [
     "rank_rows", "sym4", "dollar_chunk", "sample_chunk",
     "starts", "lens", "dstarts", "dlens", "rstarts", "rlens",
     "lf_chunk", "mark_table", "spairs_chunk", "sstarts", "slens",
-    "rank2_rows", "rank3_rows",
+    "rank2_rows", "rank3_rows", "sym_totals", "totals2", "totals3",
 ]
 _REPLICATED = ["C", "C2", "C3"]
 _META = [
@@ -121,11 +126,13 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
     lens = ends - starts
 
     rank_stack, sym_stack, dlens = [], [], []
+    sym_totals = np.zeros((S, alphabet.NUM_SYMBOLS), dtype=np.int64)
     for s in range(S):
         local = bwt[starts[s] : ends[s]]
         rb, _, counts = packing.pack_rank_blocks(local, cfg)
         rank_stack.append(rb)  # [5, nbl_s+1, R]
         sym_stack.append(packing.pack_sym4(local))
+        sym_totals[s] = counts
         dlens.append(int(counts[alphabet.SENTINEL]))
     dlens = np.asarray(dlens, dtype=np.int64)
     dstarts = np.zeros(S, dtype=np.int64)
@@ -199,17 +206,19 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
     # pair/triple plane table is a SLICE of the global one with the
     # checkpoint column rebased to the shard start (the bitplane words are
     # bit-identical) — no per-shard repacking pass needed.
-    rank2_rows = C2 = rank3_rows = C3 = None
+    rank2_rows = C2 = rank3_rows = C3 = totals2 = totals3 = None
     if packed.rank2_blocks is not None and packed.C2 is not None:
         rank2_rows = _slice_plane_tiers(
             packed.rank2_blocks, starts, ends, bs, nbl_max
         )
         C2 = np.asarray(packed.C2, dtype=np.int64)
+        totals2 = _plane_totals(packed.rank2_blocks, starts, ends, bs)
     if packed.rank3_blocks is not None and packed.C3 is not None:
         rank3_rows = _slice_plane_tiers(
             packed.rank3_blocks, starts, ends, bs, nbl_max
         )
         C3 = np.asarray(packed.C3, dtype=np.int64)
+        totals3 = _plane_totals(packed.rank3_blocks, starts, ends, bs)
 
     return ShardedIndex(
         rank_rows=rank_rows,
@@ -227,6 +236,9 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
         C2=C2,
         rank3_rows=rank3_rows,
         C3=C3,
+        sym_totals=sym_totals,
+        totals2=totals2,
+        totals3=totals3,
         lf_chunk=lf_chunk,
         mark_table=mark_table,
         spairs_chunk=spairs_chunk,
@@ -242,6 +254,24 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
         words_per_block=cfg.words_per_block,
         max_read_len=int(packed.read_lengths.max()) if m else 1,
     )
+
+
+def _plane_totals(
+    table: np.ndarray, starts: np.ndarray, ends: np.ndarray, bs: int
+) -> np.ndarray:
+    """Per-shard plane totals int64 [S, P]: shard ranges are block-aligned
+    (the last shard ends at n, whose final checkpoint carries the full
+    count — pad codes count in no plane), so the total is a checkpoint
+    difference on the GLOBAL table."""
+    S = len(starts)
+    out = np.zeros((S, table.shape[0]), dtype=np.int64)
+    for s in range(S):
+        b0 = int(starts[s]) // bs
+        b1 = -(-int(ends[s]) // bs)
+        out[s] = table[:, b1, 0].astype(np.int64) - table[:, b0, 0].astype(
+            np.int64
+        )
+    return out
 
 
 def _slice_plane_tiers(
@@ -328,6 +358,11 @@ class _ShardLocal:
             sidx.rank3_rows[0] if sidx.rank3_rows is not None else None
         )
         self.C3 = sidx.C3
+        self.sym_totals = (
+            sidx.sym_totals[0] if sidx.sym_totals is not None else None
+        )
+        self.totals2 = sidx.totals2[0] if sidx.totals2 is not None else None
+        self.totals3 = sidx.totals3[0] if sidx.totals3 is not None else None
         if sidx.has_fast_resolve:
             self.lf = sidx.lf_chunk[0]
             self.mark_table = sidx.mark_table[0]
@@ -363,6 +398,71 @@ class _ShardLocal:
             words_per_block=self.meta.words_per_block,
         )
         return jax.lax.psum(r.astype(jnp.int64), "shard")
+
+    def occ_global_routed(
+        self,
+        table: jax.Array,
+        totals: jax.Array,
+        rows_per_symbol: int,
+        code: jax.Array,
+        i: jax.Array,
+        capacity: int,
+    ) -> jax.Array:
+        """Owner-computes rank with the SAME single psum as the clamped
+        form, but each shard's HBM gather covers only lanes it OWNS.
+
+        The clamped-psum identity makes every shard gather all X lanes
+        (out-of-range lanes still cost a full rank-row fetch), so the
+        shard axis adds capacity but not rank throughput.  Here the
+        exterior contributions are table lookups (0 below the shard,
+        ``totals[code]`` above) and only interior lanes — compacted by
+        prefix-sum into a static ``capacity`` — hit the rank table:
+        expected gather width X/S per shard.  A local while_loop repeats
+        the round in the rare case a shard owns more than ``capacity``
+        lanes; the body is collective-free, so per-device trip counts may
+        diverge safely, and the merge stays ONE psum afterwards.  This is
+        the owner-routing fallback SURVEY.md §7.6 names, realized without
+        ppermute (positions are already replicated across 'shard', so
+        routing needs no data movement — only gather-lane masking).
+        """
+        X = i.shape[0]
+        li = i - self.start
+        interior = (li > 0) & (li < self.len)
+        contrib = jnp.where(li >= self.len, jnp.take(totals, code), 0)
+        lanes = jnp.arange(X, dtype=jnp.int32)
+
+        def round_(state):
+            contrib, pending = state
+            pi = pending.astype(jnp.int32)
+            pos = jnp.cumsum(pi) - pi
+            keep = pending & (pos < capacity)
+            slot = jnp.where(keep, pos, capacity)
+            rows_c = jnp.zeros(capacity, dtype=jnp.int32).at[slot].set(
+                jnp.where(keep, li, 0).astype(jnp.int32), mode="drop"
+            )
+            code_c = jnp.zeros(capacity, dtype=code.dtype).at[slot].set(
+                jnp.where(keep, code, 0), mode="drop"
+            )
+            orig = jnp.full(capacity, X, dtype=jnp.int32).at[slot].set(
+                lanes, mode="drop"
+            )
+            r = occ_rows(
+                table,
+                code_c,
+                rows_c,
+                rows_per_symbol=rows_per_symbol,
+                log2_block=self.meta.log2_block,
+                words_per_block=self.meta.words_per_block,
+            )
+            add = jnp.zeros(X, dtype=contrib.dtype).at[orig].set(
+                r.astype(contrib.dtype), mode="drop"
+            )
+            return contrib + add, pending & ~keep
+
+        contrib, _ = jax.lax.while_loop(
+            lambda st: jnp.any(st[1]), round_, (contrib, interior)
+        )
+        return jax.lax.psum(contrib, "shard")
 
     def sym_global(self, i: jax.Array) -> jax.Array:
         """BWT symbol at global positions i (int64 [X]) → int32 [X]."""
@@ -492,6 +592,7 @@ def _query_body(
     max_hits: int, lut_p: int, kstep: int = 1, early_exit: bool = False,
     exact_hist: bool = False, exact_max_rows: int | None = None,
     resolve_budget: int | None = None, walk_early_exit: bool = False,
+    owner_route: bool = False,
 ):
     """Full query step inside shard_map: search + resolve + attribution.
 
@@ -519,6 +620,28 @@ def _query_body(
     B, K = kmers.shape
     n, m = sidx.n, sidx.num_reads
 
+    # owner-routed search rank: static per-round gather capacity of
+    # 1.25 × the uniform share of the 2B (l,u) lanes, 128-lane aligned
+    S_ = sidx.num_shards
+    route = 0
+    if owner_route and S_ > 1 and loc.sym_totals is not None:
+        route = min(2 * B, max(128, -(-(2 * B * 5) // (4 * S_ * 128)) * 128))
+
+    def occ_g(c, i):
+        if route:
+            return loc.occ_global_routed(
+                loc.rank_rows, loc.sym_totals, sidx.rows_per_symbol,
+                c, i, route,
+            )
+        return loc.occ_global(c, i)
+
+    def occ_pg(table, totals, code, i):
+        if route and totals is not None:
+            return loc.occ_global_routed(
+                table, totals, sidx.rows_per_symbol, code, i, route
+            )
+        return loc.occ_plane_global(table, code, i)
+
     # NB: every loop carry below derives from dp-sharded inputs (kmers →
     # l/u → rows), so carries are born 'dp'-varying and need no pcast
     if lut is not None:
@@ -536,15 +659,16 @@ def _query_body(
         u0 = jnp.take(loc.C, c_last + 1)
         last_col = K - 1
     if kstep >= 2 and loc.rank2_rows is not None:
-        def run_steps(l, u, steps, table, starts):
+        def run_steps(l, u, steps, table, totals, starts):
             nsteps = steps.shape[0]
             if not nsteps:
                 return l, u
 
             def apply(l, u, code):
                 active = l < u
-                occ2 = loc.occ_plane_global(
+                occ2 = occ_pg(
                     table,
+                    totals,
                     jnp.concatenate([code, code]),
                     jnp.concatenate([l, u]),
                 )
@@ -595,19 +719,21 @@ def _query_body(
                 + (sub3[:, 2::3] - 1)
             )
             l, u = run_steps(
-                l, u, jnp.flip(codes3.T, axis=0), loc.rank3_rows, loc.C3
+                l, u, jnp.flip(codes3.T, axis=0), loc.rank3_rows,
+                loc.totals3, loc.C3,
             )
         npairs = rem // 2
         if npairs:
             sub2 = kmers[:, rem % 2 : rem]
             codes2 = (sub2[:, 0::2] - 1) * 4 + (sub2[:, 1::2] - 1)
             l, u = run_steps(
-                l, u, jnp.flip(codes2.T, axis=0), loc.rank2_rows, loc.C2
+                l, u, jnp.flip(codes2.T, axis=0), loc.rank2_rows,
+                loc.totals2, loc.C2,
             )
         if rem % 2:
             c0 = kmers[:, 0]
             active = l < u
-            occ2 = loc.occ_global(
+            occ2 = occ_g(
                 jnp.concatenate([c0, c0]), jnp.concatenate([l, u])
             )
             base = jnp.take(loc.C, c0)
@@ -621,7 +747,7 @@ def _query_body(
             l, u = carry
             c, j = xs
             active = (j >= K - lengths) & (l < u)
-            occ2 = loc.occ_global(
+            occ2 = occ_g(
                 jnp.concatenate([c, c]), jnp.concatenate([l, u])
             )
             base = jnp.take(loc.C, c)
@@ -834,8 +960,14 @@ def make_sharded_query_fn(
     exact_max_rows: int | None = None,
     resolve_budget: int | None = None,
     walk_early_exit: bool = False,
+    owner_route: bool = False,
 ):
     """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
+
+    ``owner_route=True`` switches the search ranks to owner-computes
+    gathers (per-shard width 1.25·2B/S instead of 2B; see
+    ``_ShardLocal.occ_global_routed``) — collective volume unchanged,
+    per-chip HBM gather traffic ÷S.  No-op at num_shards == 1.
 
     Signature: ``fn(sidx, lut_or_None, kmers [B,K] i32, lengths [B] i32)
     → dict``.  When built with ``lut_p > 0`` the returned fn REQUIRES a
@@ -864,6 +996,7 @@ def make_sharded_query_fn(
             exact_max_rows=exact_max_rows,
             resolve_budget=resolve_budget,
             walk_early_exit=walk_early_exit,
+            owner_route=owner_route,
         ),
         mesh=mesh,
         in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),

@@ -211,6 +211,7 @@ class QueryEngine:
                 exact_max_rows=self.cfg.max_sweep_rows,
                 resolve_budget=budget,
                 walk_early_exit=True,
+                owner_route=True,  # no-op at num_shards == 1
             )
             self._query_fn = make_sharded_query_fn(
                 self.sidx, mesh, max_hits=self.H, lut_p=0, **ex

@@ -291,3 +291,65 @@ def test_sharded_resolve_budget_and_walk_exit(packed, fm, tiny_corpus, dp, shard
         sidx, None, codes, lengths,
     )
     assert sg["bytes_out"] < sb["bytes_out"]
+
+
+@pytest.mark.parametrize("dp,shards", [(1, 8), (2, 4)])
+def test_owner_routed_rank_parity(packed, fm, tiny_corpus, dp, shards):
+    """Owner-routed search rank (per-shard compacted gathers) is
+    bit-identical to the clamped-psum form — including when the capacity
+    is far too small and the local multi-round while_loop must run."""
+    from readserver_tpu.parallel.sharded import _query_body
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from readserver_tpu.parallel.sharded import sharding_specs
+
+    mesh = make_mesh(data_parallel=dp, num_shards=shards)
+    sidx = place_sharded(build_sharded(packed, shards), mesh)
+    assert sidx.sym_totals is not None
+    k = tiny_corpus.spec.kmer_len
+    kmers = sample_query_kmers(tiny_corpus, 32, k, seed=91, miss_frac=0.25)
+    codes, lengths = encode_query_batch(kmers, k)
+
+    def run(**kw):
+        fn = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS, **kw)
+        return {k2: np.asarray(v) for k2, v in fn(sidx, None, codes, lengths).items()}
+
+    ref = run()
+    routed = run(owner_route=True)
+    for key in ref:
+        assert np.array_equal(ref[key], routed[key]), key
+    # 1-step variant exercises occ_g in the scan path
+    ref1 = run(kstep=1)
+    routed1 = run(kstep=1, owner_route=True)
+    for key in ref1:
+        assert np.array_equal(ref1[key], routed1[key]), key
+
+    # multi-round: capacity 8 ≪ lanes one shard owns, so the local
+    # while_loop MUST iterate — results still bit-identical to clamped
+    import jax
+    import jax.numpy as jnp
+    from readserver_tpu.parallel.sharded import _ShardLocal
+
+    rng = np.random.default_rng(5)
+    X = 96
+    cc = rng.integers(0, 5, size=X).astype(np.int32)
+    ii = rng.integers(0, packed.n + 1, size=X).astype(np.int64)
+
+    def both(sidx, c, i):
+        loc = _ShardLocal(sidx)
+        a = loc.occ_global(c, i)
+        b = loc.occ_global_routed(
+            loc.rank_rows, loc.sym_totals, sidx.rows_per_symbol, c, i, 8
+        )
+        return a, b
+
+    a, b = jax.jit(
+        jax.shard_map(
+            both, mesh=mesh,
+            in_specs=(sharding_specs(sidx), P(), P()),
+            out_specs=(P(), P()),
+        )
+    )(sidx, jnp.asarray(cc), jnp.asarray(ii))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    for b_, km in enumerate(kmers):
+        assert (int(ref["l"][b_]), int(ref["u"][b_])) == fm.backward_search(km), b_
