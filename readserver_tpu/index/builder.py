@@ -75,11 +75,17 @@ class PackedIndex:
         return self.rank_blocks.shape[1] - 1
 
     def extract_read(self, read_id: int) -> np.ndarray:
-        """Read text by id from the cold store (replaces RocksDB ``Get``)."""
+        """Read text by id from the cold store (replaces RocksDB ``Get``).
+
+        Decodes only the packed byte range covering the read — O(read_len)
+        per call, not O(corpus) (a chr20-scale corpus is ~2 GB unpacked)."""
+        if read_id < 0 or read_id >= self.num_reads:
+            raise IndexError(f"read id {read_id} out of range")
         s = int(self.read_offsets[read_id])
         e = int(self.read_offsets[read_id + 1])
-        allb = alphabet.unpack_2bit(self.corpus_packed, int(self.read_offsets[-1]))
-        return allb[s:e]
+        chunk = self.corpus_packed[s // 4 : (e + 3) // 4]
+        bases = alphabet.unpack_2bit(chunk, e - (s // 4) * 4)
+        return bases[s % 4 :]
 
     def read_name(self, read_id: int) -> str | None:
         """Stored read name (None when built without names)."""

@@ -314,10 +314,13 @@ def exact_sample_histogram(
     """
     B = l.shape[0]
     S = max(index.num_samples, 1)
-    counts = (u - l).astype(jnp.int32)
-    cum = jnp.cumsum(counts)                      # [B]
+    # int64 throughout the worklist bookkeeping: a batch's summed interval
+    # counts can exceed 2^31 for repetitive k-mers at population scale
+    # (the sharded path already does this — parallel/sharded.py)
+    counts = (u - l).astype(jnp.int64)
+    cum = jnp.cumsum(counts)                      # [B] int64
     total = cum[B - 1]
-    span = jnp.arange(window, dtype=jnp.int32)    # [W]
+    span = jnp.arange(window, dtype=jnp.int64)    # [W]
 
     def walk(rows, valid):
         if index.lf is not None and index.sample_rate > 0:
@@ -340,7 +343,8 @@ def exact_sample_histogram(
         q = jnp.searchsorted(cum, g, side="right").astype(jnp.int32)
         qc = jnp.minimum(q, B - 1)
         prev = jnp.where(qc > 0, jnp.take(cum, jnp.maximum(qc - 1, 0)), 0)
-        rows = jnp.take(l, qc) + (g - prev)
+        # per-interval offset fits int32 (interval count < n < 2^31/shard)
+        rows = jnp.take(l, qc) + (g - prev).astype(l.dtype)
         rid, _ = walk(jnp.where(valid, rows, 0), valid)
         sample = jnp.take(
             index.read_to_sample,
@@ -353,7 +357,7 @@ def exact_sample_histogram(
         return t + 1, hist
 
     zero = jnp.zeros((B, S), dtype=jnp.int32) + (l[:, None] * 0)
-    t_end, hist = jax.lax.while_loop(cond, body, (jnp.int32(0), zero))
+    t_end, hist = jax.lax.while_loop(cond, body, (jnp.int64(0), zero))
     # rows are swept in concatenated order, so query b completed iff its
     # interval's end fell inside the processed prefix (always true
     # without a max_rows cap: the loop only exits at >= total)

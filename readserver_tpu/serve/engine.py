@@ -12,6 +12,7 @@ import dataclasses
 from dataclasses import dataclass, field
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from readserver_tpu import alphabet
@@ -314,7 +315,11 @@ class QueryEngine:
                     )
                 else:
                     hist = sample_histogram(idx, rid, valid)
-                    complete = (u - l) <= self.H
+                    # complete only when every interval row was actually
+                    # resolved: count fits the hit cap AND no lane was
+                    # dropped by resolve_intervals' row budget
+                    resolved = valid.sum(axis=1).astype(jnp.int64)
+                    complete = ((u - l) <= self.H) & (resolved == (u - l))
                 return dict(
                     l=l, u=u, count=u - l, read_id=rid, offset=off,
                     valid=valid, sample_hist=hist, hist_complete=complete,

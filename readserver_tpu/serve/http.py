@@ -184,6 +184,8 @@ class RestServer:
                 rid = int(q.get("id", ""))
             except ValueError:
                 return _resp("400 Bad Request", {"error": "bad id"})
+            if rid < 0:  # negative ids would alias via numpy indexing
+                return _resp("404 Not Found", {"error": f"no read {rid}"})
             eng = self.dispatcher.engine
             try:
                 seq = eng.read_sequence(rid)

@@ -122,3 +122,26 @@ def test_read_names_survive_merge(tiny_corpus):
         assert m.read_name(9) == "a9"
         assert m.read_name(10) == "b0"
         assert m.read_name(24) == "b14"
+
+
+def test_extract_read_touches_only_its_bytes(built, tiny_corpus, monkeypatch):
+    """extract_read must decode O(read_len) packed bytes, not the corpus."""
+    from readserver_tpu import alphabet as _al
+    from readserver_tpu.index import builder as _b
+
+    _, idx = built
+    seen = []
+    real = _al.unpack_2bit
+
+    def spy(packed, n):
+        seen.append(len(np.asarray(packed)))
+        return real(packed, n)
+
+    monkeypatch.setattr(_b.alphabet, "unpack_2bit", spy)
+    for i in range(len(tiny_corpus.reads)):
+        assert np.array_equal(idx.extract_read(i), tiny_corpus.reads[i])
+        assert seen[-1] <= len(tiny_corpus.reads[i]) // 4 + 2
+    with pytest.raises(IndexError):
+        idx.extract_read(-1)
+    with pytest.raises(IndexError):
+        idx.extract_read(idx.num_reads)

@@ -108,3 +108,24 @@ def test_sample_histogram(setup):
         for r, _ in want_hits:
             want[sample_of[r]] += 1
         assert np.array_equal(hist[b], want), f"query {b}"
+
+
+def test_exact_histogram_no_int32_wrap(setup):
+    """Summed interval counts past 2^31 must not wrap the worklist
+    prefix-sum (population-scale repetitive k-mers): with a small
+    max_rows cap every such query must report complete=False."""
+    import jax.numpy as jnp
+
+    from readserver_tpu.ops import exact_sample_histogram
+
+    _, _, dev = setup
+    # synthetic giant intervals: 3 queries x 1.2e9 rows = 3.6e9 > 2^31
+    l = jnp.zeros(3, dtype=jnp.int32)
+    u = jnp.full(3, 1_200_000_000, dtype=jnp.int32)
+    hist, complete = jax.jit(
+        lambda d, l, u: exact_sample_histogram(
+            d, l, u, window=256, max_rows=1024
+        )
+    )(dev, l, u)
+    assert not bool(np.asarray(complete).any())
+    assert np.all(np.asarray(hist) >= 0)
