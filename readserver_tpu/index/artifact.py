@@ -30,7 +30,7 @@ _ARRAYS = [
     "read_offsets",
 ]
 _OPTIONAL_ARRAYS = [
-    "lf", "mark_rank", "sample_pairs",
+    "lf", "mark_rank", "sample_pairs", "dsa", "fused_rows",
     "rank2_blocks", "C2", "rank3_blocks", "C3",
     "name_blob", "name_offsets", "meta_blob", "meta_offsets",
 ]
@@ -65,6 +65,7 @@ def save_artifact(index: PackedIndex, path: str | Path) -> Path:
         "corpus_fingerprint": corpus_fingerprint(index),
         "arrays": arrays,
         "sample_rate": index.sample_rate,
+        "dsa_bits": index.dsa_bits,
     }
     tmp = path / (MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
@@ -93,6 +94,7 @@ def load_artifact(path: str | Path, mmap: bool = True) -> PackedIndex:
         num_samples=manifest["num_samples"],
         sample_names=manifest["sample_names"],
         sample_rate=manifest.get("sample_rate", 0),
+        dsa_bits=manifest.get("dsa_bits", 0),
         **arrays,
     )
 

@@ -60,6 +60,14 @@ class PackedIndex:
     mark_rank: np.ndarray | None = None     # uint32 [NB+1, row_words]
     sample_pairs: np.ndarray | None = None  # int32 [n_marked, 2]
     sample_rate: int = 0                    # 0 = fast resolve absent
+    # direct-resolve tier (optional, 4 B/sym): per-SA-row (read_id <<
+    # dsa_bits | offset) — resolution in ONE gather, no walk at all
+    dsa: np.ndarray | None = None           # uint32 [n]
+    dsa_bits: int = 0
+    # fused resolve rows (optional, 1 B/sym): one 64-byte row per block
+    # carrying occ checkpoints + symbol/mark bitplanes — the walk tier for
+    # scales where 4 B/sym doesn't fit next to the search tiers
+    fused_rows: np.ndarray | None = None    # uint32 [NB, fused_row_words]
     # k-step search tiers (optional): rank blocks over the 16 base-pair /
     # 64 base-triple planes + k-mer bucket starts — one rank advances the
     # backward search k characters, dividing the dependent-gather chain
@@ -221,6 +229,8 @@ def build_index(
         kstep = 1
     lf = mark_rank = sample_pairs = None
     rank2_blocks = C2 = rank3_blocks = C3 = None
+    dsa = fused_rows = None
+    dsa_bits = 0
     srate = 0
     if fast_resolve or kstep >= 2:
         try:
@@ -261,6 +271,13 @@ def build_index(
             sample_pairs = np.zeros((1, 2), dtype=np.int32)
         lf = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
         srate = sample_rate
+        # direct-resolve tier: 4 B/sym when (num_reads << offset_bits) fits
+        # uint32 — the budget planner decides whether it ships to HBM
+        dsa, dsa_bits = packing.pack_dsa(
+            read_of, offsets, m, int(lengths.max())
+        )
+        # fused resolve rows: the 1 B/sym walk tier for when dsa doesn't fit
+        fused_rows = packing.pack_fused_rows(bwt, marked, config)
         del read_of, offsets, marked
     else:
         lf = None  # computed only for the pair tier; don't ship it
@@ -309,6 +326,9 @@ def build_index(
         mark_rank=mark_rank,
         sample_pairs=sample_pairs,
         sample_rate=srate,
+        dsa=dsa,
+        dsa_bits=dsa_bits,
+        fused_rows=fused_rows,
         rank2_blocks=rank2_blocks,
         C2=C2,
         rank3_blocks=rank3_blocks,

@@ -120,6 +120,100 @@ def pack_bit_rank(bits: np.ndarray, config: IndexConfig) -> np.ndarray:
     return table
 
 
+def pack_dsa(
+    read_of: np.ndarray, offsets: np.ndarray, num_reads: int, max_len: int
+) -> tuple[np.ndarray | None, int]:
+    """Direct-resolve tier: per-SA-row ``(read_id, offset)`` in ONE uint32.
+
+    The reference answers "which read / where" by LF-walking each hit row
+    to its ``$`` then a RocksDB lookup (SURVEY.md §3.3); the sampled-mark
+    walks bound that to ``sample_rate`` dependent gathers.  This tier
+    removes the walk entirely: HBM affords 4 B/sym at small/mid scale, so
+    ``dsa[row] = read_id << bits | offset`` makes resolution a single
+    gather — the same cost as one backward-search step.  Returns
+    ``(None, 0)`` when ``num_reads << bits`` overflows uint32 (then the
+    walk tiers serve instead).
+    """
+    bits = int(max(int(max_len), 1)).bit_length()
+    if (int(num_reads) << bits) > (1 << 32):
+        return None, 0
+    packed = (
+        np.asarray(read_of, dtype=np.int64) << bits
+    ) | np.asarray(offsets, dtype=np.int64)
+    return packed.astype(np.uint32), bits
+
+
+def fused_row_words(config: IndexConfig) -> int:
+    """uint32 words per fused resolve row: 6 scalar words (5 occ
+    checkpoints + mark-rank checkpoint) + 4 bitplanes (dollar, base-low,
+    base-high, mark) of ``words_per_block`` each, padded to a 16-byte
+    multiple."""
+    w = 6 + 4 * config.words_per_block
+    return -(-w // 4) * 4
+
+
+def pack_fused_rows(
+    bwt: np.ndarray,
+    marked: np.ndarray,
+    config: IndexConfig,
+    chunk_blocks: int = 1 << 18,
+) -> np.ndarray:
+    """Fused resolve rows: ONE row gather per LF-walk step (uint32 [NB, R]).
+
+    The mark-walk resolve (``ops/resolve.resolve_rows_marked``) pays three
+    gathers per step: symbol (sym4), rank row, and mark row.  At chr20+
+    scale, where the 4 B/sym tiers (lf / dsa) don't fit next to the 2-step
+    search tier, this 1 B/sym layout packs everything one walk step needs
+    into a single 64-byte row per 64-symbol block:
+
+        [occ_ckpt(c=0..4), mark_ckpt, dollar plane, base-low plane,
+         base-high plane, mark plane, pad]
+
+    so the step becomes: gather row → decode symbol from the planes →
+    ``occ(c, i)`` by masked popcount of the XNOR-matched planes →
+    terminal test from the mark plane — one HBM transaction per step.
+    """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    marked = np.asarray(marked, dtype=bool)
+    n = len(bwt)
+    S, W = config.block_size, config.words_per_block
+    R = fused_row_words(config)
+    nb = max(1, -(-n // S))
+    out = np.zeros((nb, R), dtype=np.uint32)
+    run = np.zeros(6, dtype=np.int64)  # 5 symbol ckpts + mark ckpt
+    for b0 in range(0, nb, chunk_blocks):
+        b1 = min(b0 + chunk_blocks, nb)
+        s0, s1 = b0 * S, min(b1 * S, n)
+        nbk = b1 - b0
+        sub = np.zeros(nbk * S, dtype=np.int16)
+        sub[: s1 - s0] = bwt[s0:s1]
+        sub[s1 - s0 :] = -1  # pad positions match no plane
+        mk = np.zeros(nbk * S, dtype=bool)
+        mk[: s1 - s0] = marked[s0:s1]
+        planes = [
+            sub == 0,                         # dollar
+            (sub > 0) & ((sub - 1) & 1 > 0),  # base low bit
+            (sub > 0) & ((sub - 1) & 2 > 0),  # base high bit
+            mk,                               # mark
+        ]
+        counts = np.empty((6, nbk), dtype=np.int64)
+        for c in range(5):
+            counts[c] = (sub == c).reshape(nbk, S).sum(axis=1)
+        counts[5] = mk.reshape(nbk, S).sum(axis=1)
+        for j, bits in enumerate(planes):
+            words = np.packbits(bits, bitorder="little").view("<u4")
+            out[b0:b1, 6 + j * W : 6 + (j + 1) * W] = words.reshape(nbk, W)
+        for c in range(6):
+            ck = run[c] + np.concatenate(
+                [[0], np.cumsum(counts[c][:-1])]
+            )
+            if counts[c].sum() + run[c] >= 1 << 32:
+                raise ValueError("fused checkpoint exceeds uint32; shard")
+            out[b0:b1, c] = ck.astype(np.uint32)
+            run[c] += counts[c].sum()
+    return out
+
+
 def compute_lf(bwt: np.ndarray, C: np.ndarray, chunk: int = 1 << 24) -> np.ndarray:
     """LF-mapping array: LF[i] = C[BWT[i]] + occ(BWT[i], i), int32 [n].
 

@@ -19,7 +19,10 @@ from readserver_tpu.ops.lut import build_prefix_lut, default_lut_order
 from readserver_tpu.ops.resolve import (
     exact_sample_histogram,
     resolve_intervals,
+    resolve_rows_dsa,
+    resolve_rows_fused,
     sample_histogram,
+    select_walk,
 )
 
 __all__ = [
@@ -33,5 +36,8 @@ __all__ = [
     "encode_query_batch",
     "exact_sample_histogram",
     "resolve_intervals",
+    "resolve_rows_dsa",
+    "resolve_rows_fused",
     "sample_histogram",
+    "select_walk",
 ]

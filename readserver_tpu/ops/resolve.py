@@ -219,6 +219,144 @@ def resolve_rows_marked(
     return rid, off
 
 
+def resolve_rows_dsa(
+    index: DeviceIndex,
+    rows: jax.Array,      # int32 [R] SA rows
+    valid: jax.Array,     # bool  [R]
+) -> tuple[jax.Array, jax.Array]:
+    """Direct resolution: ``(read_id, offset)`` in ONE gather, no walk.
+
+    ``dsa[row] = read_id << dsa_bits | offset`` (index/packing.pack_dsa)
+    — the whole reference LF-walk + RocksDB lookup (SURVEY.md §3.3)
+    collapses into a single HBM transaction per hit row.
+    """
+    assert index.dsa is not None and index.dsa_bits > 0
+    p = jnp.take(index.dsa, jnp.where(valid, rows, 0), axis=0)
+    bits = index.dsa_bits
+    rid = (p >> bits).astype(jnp.int32)
+    off = (p & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+    return jnp.where(valid, rid, -1), jnp.where(valid, off, -1)
+
+
+def _fused_plane_pop(words: jax.Array, within: jax.Array) -> jax.Array:
+    """words uint32 [R, W], within int32 [R] → masked popcount int32 [R]."""
+    one = jnp.uint32(1)
+    W = words.shape[1]
+    word_base = jnp.arange(W, dtype=jnp.int32) * 32
+    bits = jnp.clip(within[:, None] - word_base[None, :], 0, 32)
+    partial = (one << jnp.minimum(bits, 31).astype(jnp.uint32)) - one
+    mask = jnp.where(bits >= 32, jnp.uint32(0xFFFFFFFF), partial)
+    pops = jax.lax.population_count(words & mask)
+    return jnp.sum(pops, axis=1).astype(jnp.int32)
+
+
+def _fused_bit_at(words: jax.Array, within: jax.Array) -> jax.Array:
+    w = jnp.take_along_axis(words, (within >> 5)[:, None], axis=1)[:, 0]
+    return ((w >> (within & 31).astype(jnp.uint32)) & jnp.uint32(1)) != 0
+
+
+def _fused_step_fields(index: DeviceIndex, cur: jax.Array):
+    """One fused-row gather → (symbol, occ(symbol, cur), marked, mark_slot).
+
+    Row layout (index/packing.pack_fused_rows): columns 0..4 = occ
+    checkpoints, 5 = mark-rank checkpoint, then 4 bitplanes of W words
+    each: dollar, base-low, base-high, mark.
+    """
+    W = index.words_per_block
+    row = jnp.take(index.fused_rows, cur >> index.log2_block, axis=0)
+    within = cur & (index.block_size - 1)
+    dollar = row[:, 6 : 6 + W]
+    b0 = row[:, 6 + W : 6 + 2 * W]
+    b1 = row[:, 6 + 2 * W : 6 + 3 * W]
+    mk = row[:, 6 + 3 * W : 6 + 4 * W]
+    is_dollar = _fused_bit_at(dollar, within)
+    lo = _fused_bit_at(b0, within)
+    hi = _fused_bit_at(b1, within)
+    c = jnp.where(
+        is_dollar,
+        0,
+        1 + lo.astype(jnp.int32) + 2 * hi.astype(jnp.int32),
+    )
+    # occ(c, cur): XNOR-match the target bits against the planes ($ rows
+    # have zeroed base planes, so mask them out; for c == $ the dollar
+    # plane IS the match plane)
+    full = jnp.uint32(0xFFFFFFFF)
+    t0x = jnp.where(lo, full, jnp.uint32(0))[:, None]
+    t1x = jnp.where(hi, full, jnp.uint32(0))[:, None]
+    match = (~(b0 ^ t0x)) & (~(b1 ^ t1x)) & (~dollar)
+    match = jnp.where(is_dollar[:, None], dollar, match)
+    ck = jnp.take_along_axis(row, c[:, None], axis=1)[:, 0].astype(jnp.int32)
+    o = ck + _fused_plane_pop(match, within)
+    marked = _fused_bit_at(mk, within)
+    slot = row[:, 5].astype(jnp.int32) + _fused_plane_pop(mk, within)
+    return c, o, marked, slot
+
+
+def resolve_rows_fused(
+    index: DeviceIndex,
+    rows: jax.Array,      # int32 [R] starting SA rows
+    valid: jax.Array,     # bool  [R]
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-row walk: the bounded (≤ sample_rate steps) resolve at ONE
+    gather per step.
+
+    Same contract as :func:`resolve_rows_marked` but each step reads a
+    single 64-byte fused row (symbol planes + occ checkpoints + mark
+    plane in one transaction) instead of 3 separate gathers — the walk
+    tier for chr20+ scale where the 4 B/sym ``dsa``/``lf`` tiers don't
+    fit next to the 2-step search tier (index/budget.py).
+    """
+    assert index.fused_rows is not None and index.sample_rate > 0
+    C = index.C
+
+    def body(t, state):
+        cur, done, steps = state
+        c, o, marked, _ = _fused_step_fields(index, cur)
+        is_term = marked | (c == 0)
+        step_now = ~done & ~is_term
+        cur = jnp.where(step_now, jnp.take(C, c) + o, cur)
+        steps = steps + step_now.astype(jnp.int32)
+        done = done | is_term
+        return cur, done, steps
+
+    state = (jnp.where(valid, rows, 0), ~valid, rows * 0)
+    cur, done, steps = jax.lax.fori_loop(0, index.sample_rate, body, state)
+
+    # terminal lookup: marked row → sampled pair; $-row → occ(0, cur) IS
+    # the $-rank (c == 0 forces the dollar plane as match plane above)
+    c, o, marked, slot = _fused_step_fields(index, cur)
+    rid_d = jnp.take(
+        index.dollar_map,
+        jnp.clip(o, 0, max(index.dollar_map.shape[0] - 1, 0)),
+    )
+    n_marked = index.sample_pairs.shape[0]
+    pair = jnp.take(
+        index.sample_pairs,
+        jnp.clip(slot, 0, max(n_marked - 1, 0)),
+        axis=0,
+    )
+    rid = jnp.where(marked, pair[:, 0], rid_d)
+    off = jnp.where(marked, pair[:, 1] + steps, steps)
+    rid = jnp.where(valid & done, rid, -1)
+    off = jnp.where(valid & done, off, -1)
+    return rid, off
+
+
+def select_walk(index: DeviceIndex, **slow_kw):
+    """The best resolve strategy the shipped tiers support, best-first:
+    dsa (1 gather, no walk) > lf (1×4B gather/step) > fused (1×64B
+    gather/step) > marks (3 gathers/step) > slow (2 gathers × read_len)."""
+    if index.dsa is not None and index.dsa_bits > 0:
+        return lambda r, v: resolve_rows_dsa(index, r, v)
+    if index.lf is not None and index.sample_rate > 0:
+        return lambda r, v: resolve_rows_fast(index, r, v)
+    if index.fused_rows is not None and index.sample_rate > 0:
+        return lambda r, v: resolve_rows_fused(index, r, v)
+    if index.mark_rank is not None and index.sample_rate > 0:
+        return lambda r, v: resolve_rows_marked(index, r, v)
+    return lambda r, v: resolve_rows(index, r, v, **slow_kw)
+
+
 def resolve_intervals(
     index: DeviceIndex,
     l: jax.Array,
@@ -238,25 +376,22 @@ def resolve_intervals(
     dropped; their queries were already ``hits_truncated`` or become so).
     """
     rows, valid, _ = expand_intervals(l, u, max_hits)
-    if use_fast is None:
-        use_fast = index.lf is not None and index.sample_rate > 0
-    use_marked = (
-        not use_fast
-        and index.lf is None
-        and index.mark_rank is not None
-        and index.sample_rate > 0
-    )
-
-    def walk(r, v):
-        if use_fast:
-            return resolve_rows_fast(index, r, v)
-        if use_marked:
-            return resolve_rows_marked(index, r, v)
-        return resolve_rows(index, r, v, **kw)
+    if use_fast is False:
+        # explicit opt-out of every accelerated tier (parity tests)
+        walk = lambda r, v: resolve_rows(index, r, v, **kw)
+    elif use_fast is True:
+        # explicit request for the lf sampled walk (parity tests)
+        walk = lambda r, v: resolve_rows_fast(index, r, v)
+    else:
+        walk = select_walk(index, **kw)
 
     B = l.shape[0]
     F = B * max_hits
-    if row_budget is not None and row_budget < F:
+    if index.dsa is not None and index.dsa_bits > 0 and use_fast is None:
+        # direct tier: one gather per lane — cheaper than the compaction
+        # scatter/gather round-trip, so ignore row_budget entirely
+        read_id, offset = walk(rows, valid)
+    elif row_budget is not None and row_budget < F:
         R_c = row_budget
         pos = jnp.cumsum(valid.astype(jnp.int32)) - valid.astype(jnp.int32)
         keep = valid & (pos < R_c)
@@ -322,12 +457,7 @@ def exact_sample_histogram(
     total = cum[B - 1]
     span = jnp.arange(window, dtype=jnp.int64)    # [W]
 
-    def walk(rows, valid):
-        if index.lf is not None and index.sample_rate > 0:
-            return resolve_rows_fast(index, rows, valid)
-        if index.mark_rank is not None and index.sample_rate > 0:
-            return resolve_rows_marked(index, rows, valid)
-        return resolve_rows(index, rows, valid, **walk_kw)
+    walk = select_walk(index, **walk_kw)
 
     def cond(state):
         t, _ = state

@@ -35,6 +35,11 @@ class DeviceIndex:
     lf: jax.Array | None = None           # int32 [n]; sign bit = sampled row
     mark_rank: jax.Array | None = None    # uint32 [NB+1, row_words]
     sample_pairs: jax.Array | None = None # int32 [n_marked, 2]
+    # direct-resolve tier: (read_id << dsa_bits | offset) per SA row —
+    # resolution is one gather (no walk); see index/packing.pack_dsa
+    dsa: jax.Array | None = None          # uint32 [n]
+    # fused resolve rows: 1 gather/step bounded walk when dsa doesn't fit
+    fused_rows: jax.Array | None = None   # uint32 [NB, fused_row_words]
     # k-step search tiers (None when built without them): pair/triple
     # plane rank tables + k-mer bucket starts — one gather advances k chars
     rank2_rows: jax.Array | None = None   # uint32 [16*(NB+1), row_words]
@@ -50,6 +55,7 @@ class DeviceIndex:
     words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
     max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
     sample_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dsa_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def log2_block(self) -> int:
@@ -87,9 +93,16 @@ class DeviceIndex:
             and packed.sample_rate > 0
             and want("marks")
         )
-        # the lf fast walk needs the sampled-pair table; lf without marks
-        # has no consumer
+        has_fused = (
+            packed.fused_rows is not None
+            and packed.sample_rate > 0
+            and want("fused")
+        )
+        # both walk tiers resolve terminals through the sampled-pair table
+        has_pairs = (has_marks or has_fused) and packed.sample_pairs is not None
+        # the lf fast walk needs the mark-rank table for its terminal slot
         has_lf = packed.lf is not None and has_marks and want("lf")
+        has_dsa = packed.dsa is not None and want("dsa")
         has_r2 = packed.rank2_blocks is not None and want("rank2")
         has_r3 = packed.rank3_blocks is not None and want("rank3")
         return cls(
@@ -107,7 +120,17 @@ class DeviceIndex:
             ),
             sample_pairs=(
                 put(np.asarray(packed.sample_pairs, dtype=np.int32))
-                if has_marks
+                if has_pairs
+                else None
+            ),
+            dsa=(
+                put(np.asarray(packed.dsa, dtype=np.uint32))
+                if has_dsa
+                else None
+            ),
+            fused_rows=(
+                put(np.ascontiguousarray(packed.fused_rows))
+                if has_fused
                 else None
             ),
             rank2_rows=(
@@ -137,7 +160,10 @@ class DeviceIndex:
             block_size=cfg.block_size,
             words_per_block=cfg.words_per_block,
             max_read_len=int(packed.read_lengths.max()) if packed.num_reads else 1,
-            sample_rate=int(packed.sample_rate) if has_marks else 0,
+            sample_rate=(
+                int(packed.sample_rate) if (has_marks or has_fused) else 0
+            ),
+            dsa_bits=int(packed.dsa_bits) if has_dsa else 0,
         )
 
     def device_bytes(self) -> int:
@@ -159,6 +185,8 @@ jax.tree_util.register_dataclass(
         "lf",
         "mark_rank",
         "sample_pairs",
+        "dsa",
+        "fused_rows",
         "rank2_rows",
         "C2",
         "rank3_rows",
@@ -173,6 +201,7 @@ jax.tree_util.register_dataclass(
         "words_per_block",
         "max_read_len",
         "sample_rate",
+        "dsa_bits",
     ],
 )
 

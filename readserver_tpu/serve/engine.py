@@ -182,6 +182,9 @@ class QueryEngine:
             # 0 each tick and all processes execute the SPMD step together
             # (followers loop in .follow()).  Single-process when 1.
             self._mh = jax.process_count() > 1
+            # tiered widths must divide the dp mesh axis (each dp rank —
+            # and each host under multi-host — takes an equal batch slice)
+            self._width_quantum = int(mesh.shape["dp"]) if mesh else 1
             self.sidx = place_sharded(
                 build_sharded(packed, self.cfg.num_shards), mesh
             )
@@ -344,16 +347,17 @@ class QueryEngine:
             raise ValueError(f"batch of {nq} exceeds configured {self.B}")
         # tiered widths: pad to the smallest compiled width that fits so a
         # lone query doesn't pay the full-batch program (p50 under light
-        # load); jit specializes per width on first use
+        # load); jit specializes per width on first use.  Multi-host ticks
+        # broadcast the chosen width in a fixed-shape header first, so
+        # light batches run tiered there too; widths must stay divisible
+        # by the dp mesh axis (per-host ingest slices, parallel/multihost)
         width = self.B
-        if getattr(self, "_mh", False):
-            # multi-host ticks broadcast fixed-shape payloads; no tiering
-            pass
-        else:
-            for w in sorted(self.cfg.small_batch_sizes):
-                if nq <= w <= self.B:
-                    width = w
-                    break
+        quantum = getattr(self, "_width_quantum", 1)
+        for w in sorted(self.cfg.small_batch_sizes):
+            if nq <= w <= self.B and w % quantum == 0:
+                width = w
+                break
+        self.last_width = width
         # dummies match the longest real query, so a uniform-length batch
         # stays uniform after padding (keeps the k-step tiers usable) and
         # padding never disables the LUT path
@@ -401,10 +405,19 @@ class QueryEngine:
             if self._mh:
                 from jax.experimental import multihost_utils
 
-                payload = multihost_utils.broadcast_one_to_all(
-                    (codes, lengths, np.int32(nq), np.int32(0))
+                # two-phase tick: a fixed-shape header carries the chosen
+                # tier width so followers can allocate the matching
+                # payload buffers — light batches then compile/run the
+                # small-width program on every host (not the full-B one)
+                multihost_utils.broadcast_one_to_all(
+                    (np.int32(codes.shape[0]), np.int32(nq), np.int32(0))
                 )
-                out = self._mh_execute(*payload[:3])
+                codes, lengths = multihost_utils.broadcast_one_to_all(
+                    (codes, lengths)
+                )
+                out = self._mh_execute(
+                    np.asarray(codes), np.asarray(lengths), nq
+                )
                 return {k: v[:nq] for k, v in out.items()}
             use_lut = bool(
                 self.lut is not None
@@ -479,17 +492,23 @@ class QueryEngine:
 
     def follow(self) -> None:
         """Follower loop for processes != 0: execute broadcast ticks until
-        process 0 sends the stop flag (or this process is killed)."""
+        process 0 sends the stop flag (or this process is killed).  Each
+        tick is two broadcasts: a fixed-shape header (width, nq, stop)
+        then the width-shaped query payload."""
         from jax.experimental import multihost_utils
 
-        zero_c = np.zeros((self.B, self.K), dtype=np.int32)
-        zero_l = np.ones(self.B, dtype=np.int32)
         while True:
-            codes, lengths, nq, stop = multihost_utils.broadcast_one_to_all(
-                (zero_c, zero_l, np.int32(0), np.int32(0))
+            width, nq, stop = multihost_utils.broadcast_one_to_all(
+                (np.int32(0), np.int32(0), np.int32(0))
             )
             if int(stop):
                 return
+            codes, lengths = multihost_utils.broadcast_one_to_all(
+                (
+                    np.zeros((int(width), self.K), dtype=np.int32),
+                    np.ones(int(width), dtype=np.int32),
+                )
+            )
             self._mh_execute(np.asarray(codes), np.asarray(lengths), int(nq))
 
     def stop_followers(self) -> None:
@@ -499,12 +518,7 @@ class QueryEngine:
         from jax.experimental import multihost_utils
 
         multihost_utils.broadcast_one_to_all(
-            (
-                np.zeros((self.B, self.K), dtype=np.int32),
-                np.ones(self.B, dtype=np.int32),
-                np.int32(0),
-                np.int32(1),
-            )
+            (np.int32(0), np.int32(0), np.int32(1))
         )
 
     # ------------------------------------------------------------ public
@@ -709,6 +723,12 @@ class MultiEngine:
     def count_batch(
         self, kmers: list[str], both_strands: bool = False
     ) -> list[QueryResult]:
+        """Summed counts across partitions.  ``interval`` is None by
+        contract: each partition is its own BWT, so no single global
+        (l, u) exists — the same convention the device-parallel
+        doc-sharded engine uses (its merged ``_run`` dict carries no
+        'l'/'u' either); only the un-partitioned engine reports BWT
+        coordinates."""
         per = [e.count_batch(kmers, both_strands=both_strands)
                for e in self.engines]
         return [

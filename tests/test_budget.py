@@ -28,17 +28,23 @@ def packed(tiny_corpus):
 
 def test_plan_no_budget_keeps_all(packed):
     plan = plan_tiers(packed, None)
-    assert plan.keep == {"marks", "rank2", "rank3", "lf"}
+    assert plan.keep == {"marks", "rank2", "rank3", "lf", "dsa", "fused"}
     assert plan.dropped == ()
+    # shared sample_pairs (marks + fused) charged once
+    base, tiers = tier_bytes(packed)
+    assert plan.total_bytes == base + sum(tiers.values()) - (
+        packed.sample_pairs.nbytes
+    )
 
 
 def test_plan_drops_in_value_order(packed):
     base, tiers = tier_bytes(packed)
-    # room for marks + rank2 only
-    budget = base + tiers["marks"] + tiers["rank2"]
+    # room for rank2 + dsa only (greedy order: rank2 first, dsa second)
+    budget = base + tiers["rank2"] + tiers["dsa"]
     plan = plan_tiers(packed, budget)
-    assert plan.keep == {"marks", "rank2"}
-    assert set(plan.dropped) == {"rank3", "lf"}
+    assert plan.keep == {"rank2", "dsa"}
+    # fused/marks/lf are dominated by the kept dsa; rank3 didn't fit
+    assert "rank3" in plan.dropped
     assert plan.total_bytes <= budget
     # base only
     plan0 = plan_tiers(packed, base)
@@ -48,14 +54,25 @@ def test_plan_drops_in_value_order(packed):
         plan_tiers(packed, base - 1)
 
 
+def test_plan_chr20_shape(packed):
+    """The chr20-scale shape: rank2 fits, dsa does NOT, fused does —
+    resolve is served by the fused-row walk, lf/marks dominated/skipped."""
+    base, tiers = tier_bytes(packed)
+    budget = base + tiers["rank2"] + tiers["fused"]
+    if tiers["dsa"] <= tiers["fused"]:
+        pytest.skip("corpus too small for the dsa>fused size relation")
+    plan = plan_tiers(packed, budget)
+    assert plan.keep == {"rank2", "fused"}
+    assert "dsa" in plan.dropped
+
+
 def test_plan_skips_oversized_tier(packed):
     base, tiers = tier_bytes(packed)
-    # rank3 doesn't fit but lf (checked later in order) does
-    budget = base + tiers["marks"] + tiers["rank2"] + tiers["lf"]
-    if tiers["rank3"] <= tiers["lf"]:
-        pytest.skip("tiny corpus: rank3 not larger than lf")
+    # rank3 doesn't fit but everything before/after does: greedy must
+    # skip OVER rank3, not stop at it
+    budget = base + tiers["rank2"] + tiers["dsa"] + tiers["rank3"] - 1
     plan = plan_tiers(packed, budget)
-    assert "lf" in plan.keep and "rank3" not in plan.keep
+    assert "dsa" in plan.keep and "rank3" not in plan.keep
 
 
 def test_lf_requires_marks(packed):
@@ -69,7 +86,16 @@ def test_lf_requires_marks(packed):
 
 @pytest.mark.parametrize(
     "tiers",
-    [frozenset(), {"marks"}, {"marks", "rank2"}, {"marks", "rank2", "lf"}],
+    [
+        frozenset(),
+        {"marks"},
+        {"fused"},
+        {"dsa"},
+        {"marks", "rank2"},
+        {"fused", "rank2"},
+        {"dsa", "rank2", "rank3"},
+        {"marks", "rank2", "lf"},
+    ],
     ids=lambda t: "+".join(sorted(t)) or "base",
 )
 def test_tier_drop_answer_parity(packed, tiny_corpus, tiers):
@@ -97,18 +123,28 @@ def test_tier_drop_answer_parity(packed, tiny_corpus, tiers):
         np.testing.assert_array_equal(a[key], b[key], err_msg=key)
 
 
-def test_marked_walk_matches_lf_walk(packed):
-    """resolve_rows_marked ≡ resolve_rows_fast on every row of the BWT."""
-    from readserver_tpu.ops.resolve import resolve_rows_fast, resolve_rows_marked
+def test_all_walks_agree_on_every_row(packed):
+    """dsa ≡ lf-walk ≡ fused-walk ≡ mark-walk on every row of the BWT."""
+    from readserver_tpu.ops.resolve import (
+        resolve_rows_dsa,
+        resolve_rows_fast,
+        resolve_rows_fused,
+        resolve_rows_marked,
+    )
 
     full = DeviceIndex.from_packed(packed)
     marked_only = DeviceIndex.from_packed(packed, tiers={"marks"})
+    fused_only = DeviceIndex.from_packed(packed, tiers={"fused"})
     rows = np.arange(packed.n, dtype=np.int32)
     valid = np.ones(packed.n, dtype=bool)
-    r1, o1 = resolve_rows_fast(full, rows, valid)
-    r2, o2 = resolve_rows_marked(marked_only, rows, valid)
-    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
-    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    want = tuple(map(np.asarray, resolve_rows_dsa(full, rows, valid)))
+    for name, got in {
+        "lf": resolve_rows_fast(full, rows, valid),
+        "marks": resolve_rows_marked(marked_only, rows, valid),
+        "fused": resolve_rows_fused(fused_only, rows, valid),
+    }.items():
+        np.testing.assert_array_equal(want[0], np.asarray(got[0]), err_msg=name)
+        np.testing.assert_array_equal(want[1], np.asarray(got[1]), err_msg=name)
 
 
 def test_engine_budget_plumbing(tiny_corpus):

@@ -85,8 +85,19 @@ def test_fast_matches_oracle(setup):
 
 def test_row_budget_compaction(setup):
     """Compacted resolve returns identical hits when the budget covers all
-    valid rows, and drops (only) overflow rows when it doesn't."""
-    corpus, fm, dev = setup
+    valid rows, and drops (only) overflow rows when it doesn't.
+
+    Uses a walk-tier index (no dsa): the direct tier deliberately ignores
+    row_budget — one gather per lane is cheaper than the compaction
+    scatter, so nothing is ever dropped there (ops/resolve.py)."""
+    corpus, fm, dev_full = setup
+    from readserver_tpu.index.builder import build_index as _bi
+
+    dev = DeviceIndex.from_packed(
+        _bi(corpus.reads, sample_ids=corpus.sample_ids),
+        tiers={"marks", "lf"},
+    )
+    assert dev.dsa is None
     k = corpus.spec.kmer_len
     kmers = sample_query_kmers(corpus, 32, k, seed=53, miss_frac=0.2)
     codes, lengths = encode_query_batch(kmers, k)

@@ -210,6 +210,32 @@ def test_sharded_kstep_matches_onestep_and_oracle(packed, fm, tiny_corpus):
         assert (int(ref["l"][b]), int(ref["u"][b])) == fm.backward_search(km), b
 
 
+def test_pinned_collective_budget():
+    """The serving collective budget, pinned (BASELINE.json scaling metric
+    / ROADMAP): 31-mer search with a p=6 LUT and the triple tier costs
+    exactly 9 search psums per batch; the sampled walk costs
+    sample_rate + 3 resolve psums.  A schedule regression fails here
+    before it ever reaches a pod."""
+    from readserver_tpu.parallel.stats import query_psum_estimate
+
+    e = query_psum_estimate(
+        31, lut_p=6, kstep=3, sample_rate=32, fast_resolve=True
+    )
+    assert e["search"] == 9
+    assert e["resolve"] == 32 + 3
+    assert e["total"] == 44
+    # chr20-rung density (sample_rate 16, bench.SAMPLE_RATES): walk halves
+    e16 = query_psum_estimate(
+        31, lut_p=6, kstep=3, sample_rate=16, fast_resolve=True
+    )
+    assert e16["resolve"] == 19
+    # 2-step tier (what chr20 actually keeps): 13 search psums
+    e2 = query_psum_estimate(
+        31, lut_p=6, kstep=2, sample_rate=16, fast_resolve=True
+    )
+    assert e2["search"] == 13
+
+
 def test_sharded_kstep_collective_accounting(packed, tiny_corpus):
     """HLO-level collective counts are parseable and the analytic per-batch
     psum estimate drops with tier depth (the point of porting the tiers)."""
