@@ -57,6 +57,11 @@ class DocShardedIndex:
     lf: jax.Array | None
     mark_rank: jax.Array | None
     sample_pairs: jax.Array | None
+    # direct/fused resolve tiers (ops/resolve), stacked per shard: with
+    # dsa each shard resolves its own hits in ONE local gather — no walk
+    # and still no per-step collectives (the doc decomposition's point)
+    dsa: jax.Array | None
+    fused_rows: jax.Array | None
     lut: jax.Array | None     # int32 [S, 4^p, 2] per-shard prefix LUTs
     read_offsets: jax.Array   # int64 [S] global read-id base per shard
     # shared statics (padded maxima)
@@ -68,15 +73,17 @@ class DocShardedIndex:
     max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
     sample_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
     lut_p: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dsa_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 _DOC_ARRAYS = [
     "rank_rows", "sym4", "C", "dollar_map", "read_to_sample",
-    "read_lengths", "lf", "mark_rank", "sample_pairs", "lut", "read_offsets",
+    "read_lengths", "lf", "mark_rank", "sample_pairs", "dsa", "fused_rows",
+    "lut", "read_offsets",
 ]
 _DOC_META = [
     "num_shards", "num_samples", "rows_per_symbol", "block_size",
-    "words_per_block", "max_read_len", "sample_rate", "lut_p",
+    "words_per_block", "max_read_len", "sample_rate", "lut_p", "dsa_bits",
 ]
 
 jax.tree_util.register_dataclass(
@@ -108,6 +115,13 @@ def build_doc_sharded(
         raise ValueError("no partitions")
     devs = [DeviceIndex.from_packed(p) for p in partitions]
     has_fr = all(d.lf is not None for d in devs)
+    # dsa packs (read_id << bits); shards must agree on bits to share one
+    # program (they do whenever read-length distributions match)
+    bits = {d.dsa_bits for d in devs}
+    has_dsa = all(d.dsa is not None for d in devs) and len(bits) == 1
+    has_fused = all(d.fused_rows is not None for d in devs) and all(
+        d.sample_pairs is not None for d in devs
+    )
     luts = None
     if lut_p:
         luts = _pad_stack(
@@ -131,8 +145,13 @@ def build_doc_sharded(
         if has_fr
         else None,
         sample_pairs=_pad_stack([np.asarray(d.sample_pairs) for d in devs])
-        if has_fr
+        if (has_fr or has_fused)
         else None,
+        dsa=_pad_stack([np.asarray(d.dsa) for d in devs]) if has_dsa else None,
+        fused_rows=_pad_stack([np.asarray(d.fused_rows) for d in devs])
+        if has_fused
+        else None,
+        dsa_bits=devs[0].dsa_bits if has_dsa else 0,
         lut=luts,
         read_offsets=read_offsets,
         num_shards=len(partitions),
@@ -141,7 +160,7 @@ def build_doc_sharded(
         block_size=devs[0].block_size,
         words_per_block=devs[0].words_per_block,
         max_read_len=max(d.max_read_len for d in devs),
-        sample_rate=devs[0].sample_rate if has_fr else 0,
+        sample_rate=devs[0].sample_rate if (has_fr or has_fused) else 0,
         lut_p=lut_p,
     )
     # rows_per_symbol must describe the PADDED rank_rows layout: re-pad
@@ -193,7 +212,13 @@ def _local_device_index(didx: DocShardedIndex) -> DeviceIndex:
         read_lengths=didx.read_lengths[0],
         lf=didx.lf[0] if has_fr else None,
         mark_rank=didx.mark_rank[0] if has_fr else None,
-        sample_pairs=didx.sample_pairs[0] if has_fr else None,
+        sample_pairs=(
+            didx.sample_pairs[0] if didx.sample_pairs is not None else None
+        ),
+        dsa=didx.dsa[0] if didx.dsa is not None else None,
+        fused_rows=(
+            didx.fused_rows[0] if didx.fused_rows is not None else None
+        ),
         n=0,  # unused: search/resolve read n, m dynamically from C
         num_reads=int(didx.dollar_map.shape[1]),
         num_samples=didx.num_samples,
@@ -202,6 +227,7 @@ def _local_device_index(didx: DocShardedIndex) -> DeviceIndex:
         words_per_block=didx.words_per_block,
         max_read_len=didx.max_read_len,
         sample_rate=didx.sample_rate,
+        dsa_bits=didx.dsa_bits,
     )
 
 

@@ -59,6 +59,11 @@ class ShardedIndex:
     spairs_chunk: jax.Array | None = None  # int32 [S, smax, 2]
     sstarts: jax.Array | None = None       # int64 [S]
     slens: jax.Array | None = None         # int64 [S]
+    # direct-resolve tier (optional): per-row (read_id << dsa_bits |
+    # offset) sharded by position range — resolution becomes ONE masked
+    # psum-gather per lane, eliminating the walk's sample_rate collective
+    # rounds entirely (ops/resolve.resolve_rows_dsa under sharding)
+    dsa_chunk: jax.Array | None = None     # uint32 [S, maxlen]
     # k-step search tiers (optional, same planes as DeviceIndex but
     # shard-local): one clamped-psum rank over the pair/triple planes
     # advances the whole batch 2/3 characters — the single-chip hot-path
@@ -82,6 +87,7 @@ class ShardedIndex:
     words_per_block: int = dataclasses.field(metadata=dict(static=True), default=8)
     max_read_len: int = dataclasses.field(metadata=dict(static=True), default=256)
     sample_rate: int = dataclasses.field(metadata=dict(static=True), default=0)
+    dsa_bits: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def log2_block(self) -> int:
@@ -96,12 +102,14 @@ _STACKED = [
     "rank_rows", "sym4", "dollar_chunk", "sample_chunk",
     "starts", "lens", "dstarts", "dlens", "rstarts", "rlens",
     "lf_chunk", "mark_table", "spairs_chunk", "sstarts", "slens",
+    "dsa_chunk",
     "rank2_rows", "rank3_rows", "sym_totals", "totals2", "totals3",
 ]
 _REPLICATED = ["C", "C2", "C3"]
 _META = [
     "num_shards", "n", "num_reads", "num_samples", "rows_per_symbol",
     "block_size", "words_per_block", "max_read_len", "sample_rate",
+    "dsa_bits",
 ]
 
 jax.tree_util.register_dataclass(
@@ -168,6 +176,17 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
     rts = np.asarray(packed.read_to_sample, dtype=np.int32)
     for s in range(S):
         sample_chunk[s, : rlens[s]] = rts[rstarts[s] : rends[s]]
+
+    # direct-resolve tier, sharded by the same position ranges
+    dsa_chunk = None
+    dsa_bits = 0
+    if packed.dsa is not None and packed.dsa_bits > 0:
+        dsa_bits = int(packed.dsa_bits)
+        dsa_all = np.asarray(packed.dsa, dtype=np.uint32)
+        maxlen = int(lens.max())
+        dsa_chunk = np.zeros((S, max(maxlen, 1)), dtype=np.uint32)
+        for s in range(S):
+            dsa_chunk[s, : lens[s]] = dsa_all[starts[s] : ends[s]]
 
     # fast-resolve tier, sharded the same three ways
     lf_chunk = mark_table = spairs_chunk = sstarts = slens = None
@@ -244,6 +263,8 @@ def build_sharded(packed: PackedIndex, num_shards: int) -> ShardedIndex:
         spairs_chunk=spairs_chunk,
         sstarts=sstarts,
         slens=slens,
+        dsa_chunk=dsa_chunk,
+        dsa_bits=dsa_bits,
         sample_rate=srate,
         num_shards=S,
         n=n,
@@ -369,6 +390,7 @@ class _ShardLocal:
             self.spairs = sidx.spairs_chunk[0]
             self.sstart = sidx.sstarts[0]
             self.slen = sidx.slens[0]
+        self.dsa = sidx.dsa_chunk[0] if sidx.dsa_chunk is not None else None
 
     def occ_global(self, c: jax.Array, i: jax.Array) -> jax.Array:
         """c int32 [X], i int64 [X] → global occ int64 [X] (one psum)."""
@@ -496,6 +518,16 @@ class _ShardLocal:
         return jax.lax.psum(jnp.where(inr, v, 0), "shard")
 
     # ---------------------------------------------- fast-resolve helpers
+
+    def dsa_global(self, i: jax.Array) -> jax.Array:
+        """Packed (read_id << bits | offset) at global rows i (int64 [X])
+        — ONE masked psum; the whole resolve for rows this tier covers."""
+        inr = (i >= self.start) & (i < self.start + self.len)
+        loc = jnp.clip(i - self.start, 0, jnp.maximum(self.len - 1, 0)).astype(
+            jnp.int32
+        )
+        v = jnp.take(self.dsa, loc, axis=0)
+        return jax.lax.psum(jnp.where(inr, v, _U32(0)), "shard")
 
     def lf_raw_global(self, i: jax.Array) -> jax.Array:
         """Raw LF value (sign bit = sampled) at global rows i (int64 [X]).
@@ -794,6 +826,17 @@ def _query_body(
 
     def do_walk(wrows, wvalid):
         """Lockstep LF-walk over global rows → (read_id, offset)."""
+        if sidx.dsa_chunk is not None and sidx.dsa_bits > 0:
+            # direct tier: the whole resolve is ONE masked psum-gather —
+            # no walk, no per-step collective rounds
+            p = loc.dsa_global(wrows)
+            bits = sidx.dsa_bits
+            rid = (p >> bits).astype(jnp.int32)
+            off = (p & _U32((1 << bits) - 1)).astype(jnp.int32)
+            return (
+                jnp.where(wvalid, rid, -1),
+                jnp.where(wvalid, off, -1),
+            )
         if sidx.has_fast_resolve:
             # sampled-LF walk: 1 psum-gather per step, bound = sample_rate
             # (carries derive from wrows, so they are already dp-varying)

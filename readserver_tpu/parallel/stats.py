@@ -58,6 +58,7 @@ def query_psum_estimate(
     sample_rate: int = 0,
     fast_resolve: bool = False,
     max_read_len: int = 0,
+    direct_resolve: bool = False,
 ) -> dict:
     """Analytic per-batch psum counts for ``_query_body`` (mirrors its
     step schedule exactly — HLO static counts can't see loop trip counts).
@@ -74,7 +75,11 @@ def query_psum_estimate(
         search = r // 2 + r % 2
     else:
         search = r
-    if fast_resolve and sample_rate > 0:
+    if direct_resolve:
+        # dsa tier: one masked psum-gather resolves every lane, plus the
+        # sample-attribution psum — the walk's collective rounds vanish
+        resolve = 2
+    elif fast_resolve and sample_rate > 0:
         # walk: 1 lf psum/step; terminal: 2 fused psums (lf+mark_rank,
         # dollar+pair); attribution: sample gather psum
         resolve = sample_rate + 2 + 1

@@ -130,6 +130,26 @@ def test_sharded_fast_resolve_used(packed):
     ).sum()
 
 
+def test_sharded_dsa_vs_lf_walk_parity(packed, tiny_corpus):
+    """The one-psum dsa resolve equals the sampled-LF walk under sharding
+    (same mesh, same queries, every output key)."""
+    import dataclasses as dc
+
+    mesh = make_mesh(data_parallel=2, num_shards=4)
+    sidx = place_sharded(build_sharded(packed, 4), mesh)
+    assert sidx.dsa_chunk is not None
+    sidx_lf = dc.replace(sidx, dsa_chunk=None, dsa_bits=0)
+    k = tiny_corpus.spec.kmer_len
+    kmers = sample_query_kmers(tiny_corpus, 32, k, seed=63, miss_frac=0.2)
+    codes, lengths = encode_query_batch(kmers, k)
+    f_dsa = make_sharded_query_fn(sidx, mesh, max_hits=MAX_HITS)
+    f_lf = make_sharded_query_fn(sidx_lf, mesh, max_hits=MAX_HITS)
+    a = {k2: np.asarray(v) for k2, v in f_dsa(sidx, None, codes, lengths).items()}
+    b = {k2: np.asarray(v) for k2, v in f_lf(sidx_lf, None, codes, lengths).items()}
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+
 def test_sharded_slow_walk_still_works(tiny_corpus, fm):
     """Artifacts without the fast tier fall back to the symbol walk."""
     packed_slow = build_index(
@@ -234,6 +254,10 @@ def test_pinned_collective_budget():
         31, lut_p=6, kstep=2, sample_rate=16, fast_resolve=True
     )
     assert e2["search"] == 13
+    # direct-resolve (dsa) tier: the walk's collective rounds vanish —
+    # 2 resolve psums total (dsa gather + sample attribution)
+    ed = query_psum_estimate(31, lut_p=6, kstep=3, direct_resolve=True)
+    assert ed["resolve"] == 2 and ed["total"] == 11
 
 
 def test_sharded_kstep_collective_accounting(packed, tiny_corpus):
