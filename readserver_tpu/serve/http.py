@@ -214,24 +214,47 @@ class RestServer:
         if path == "/info":
             eng = self.dispatcher.engine
             packed = eng.packed
-            return _resp(
-                "200 OK",
-                {
-                    "n_symbols": int(packed.n),
-                    "num_reads": int(packed.num_reads)
-                    if not eng._doc
-                    else sum(p.num_reads for p in eng.partitions),
-                    "num_samples": len(eng.sample_names),
-                    "max_query_len": eng.K,
-                    "max_hits": eng.H,
-                    "batch_size": eng.B,
-                    "sharding": (
-                        "document"
-                        if eng._doc
-                        else ("interval" if eng._sharded else "single")
-                    ),
-                },
-            )
+            info = {
+                "n_symbols": int(packed.n),
+                "num_reads": int(packed.num_reads)
+                if not eng._doc
+                else sum(p.num_reads for p in eng.partitions),
+                "num_samples": len(eng.sample_names),
+                "max_query_len": eng.K,
+                "max_hits": eng.H,
+                "batch_size": eng.B,
+                "sharding": (
+                    "document"
+                    if eng._doc
+                    else ("interval" if eng._sharded else "single")
+                ),
+            }
+            if getattr(eng, "tier_plan", None) is not None:
+                info["tiers_kept"] = sorted(eng.tier_plan.keep)
+                info["tiers_dropped"] = list(eng.tier_plan.dropped)
+                info["hbm_bytes"] = int(eng.tier_plan.total_bytes)
+            if getattr(eng, "_sharded", False) and not eng._doc:
+                # the observable collective budget (parallel/stats.py):
+                # per-batch psum counts the compiled step schedule pays
+                from readserver_tpu.parallel.stats import query_psum_estimate
+
+                sidx = eng.sidx
+                kstep = (
+                    3 if sidx.rank3_rows is not None
+                    else 2 if sidx.rank2_rows is not None
+                    else 1
+                )
+                info["psums_per_batch"] = query_psum_estimate(
+                    eng.K,
+                    lut_p=eng.lut_p or 0,
+                    kstep=kstep,
+                    sample_rate=sidx.sample_rate,
+                    fast_resolve=sidx.has_fast_resolve,
+                    max_read_len=sidx.max_read_len,
+                    direct_resolve=sidx.dsa_chunk is not None,
+                )
+                info["num_shards"] = int(sidx.num_shards)
+            return _resp("200 OK", info)
         if path in ("/count", "/reads", "/samples"):
             kmer = q.get("kmer", "")
             if not kmer:
