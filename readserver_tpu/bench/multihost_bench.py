@@ -45,6 +45,16 @@ def main(argv=None) -> int:
     ap.add_argument("--heartbeat-timeout", type=int, default=10)
     ap.add_argument("--serve-loop", action="store_true",
                     help="tick forever, one heartbeat line per step")
+    ap.add_argument("--owner-route", action="store_true",
+                    help="owner-computes search ranks (compacted gathers)")
+    ap.add_argument("--route-capacity", type=int, default=0,
+                    help="per-round gather capacity (0 = heuristic); "
+                         "undersize to force overflow rounds")
+    ap.add_argument("--exact-hist", action="store_true",
+                    help="exact per-sample attribution sweep")
+    ap.add_argument("--strip-dsa", action="store_true",
+                    help="drop the direct-resolve tier to exercise the "
+                         "sampled-LF walk's cross-process collectives")
     args = ap.parse_args(argv)
 
     if args.local_devices:
@@ -90,7 +100,16 @@ def main(argv=None) -> int:
     packed = build_index(corpus.reads, sample_ids=corpus.sample_ids)
     mesh = make_global_mesh()  # shard axis = this host's devices
     sidx = place_sharded(build_sharded(packed, mesh.shape["shard"]), mesh)
-    qfn = make_sharded_query_fn(sidx, mesh, max_hits=16)
+    if args.strip_dsa:
+        import dataclasses as _dc
+
+        sidx = _dc.replace(sidx, dsa_chunk=None, dsa_bits=0)
+    qfn = make_sharded_query_fn(
+        sidx, mesh, max_hits=16,
+        owner_route=args.owner_route,
+        route_capacity=args.route_capacity or None,
+        exact_hist=args.exact_hist,
+    )
 
     # per-host ingest: each process samples a DIFFERENT query stream
     k = corpus.spec.kmer_len

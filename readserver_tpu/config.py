@@ -100,6 +100,10 @@ class ServeConfig:
     port: int = 8080
     num_shards: int = 1            # BWT-interval shards (mesh 'shard' axis)
     data_parallel: int = 1         # query data-parallel width (mesh 'dp' axis)
+    # owner-routed search rank: per-round gather-lane capacity per shard
+    # (None = 1.25x the uniform share, 128-aligned — parallel/sharded.py;
+    # undersizing is correct but runs extra local overflow rounds)
+    owner_route_capacity: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -624,7 +624,7 @@ def _query_body(
     max_hits: int, lut_p: int, kstep: int = 1, early_exit: bool = False,
     exact_hist: bool = False, exact_max_rows: int | None = None,
     resolve_budget: int | None = None, walk_early_exit: bool = False,
-    owner_route: bool = False,
+    owner_route: bool = False, route_capacity: int | None = None,
 ):
     """Full query step inside shard_map: search + resolve + attribution.
 
@@ -652,12 +652,19 @@ def _query_body(
     B, K = kmers.shape
     n, m = sidx.n, sidx.num_reads
 
-    # owner-routed search rank: static per-round gather capacity of
-    # 1.25 × the uniform share of the 2B (l,u) lanes, 128-lane aligned
+    # owner-routed search rank: static per-round gather capacity, default
+    # 1.25 × the uniform share of the 2B (l,u) lanes, 128-lane aligned;
+    # ``route_capacity`` (ServeConfig.owner_route_capacity) overrides —
+    # an undersized capacity is CORRECT (the overflow while_loop runs
+    # more local rounds), just slower
     S_ = sidx.num_shards
     route = 0
     if owner_route and S_ > 1 and loc.sym_totals is not None:
-        route = min(2 * B, max(128, -(-(2 * B * 5) // (4 * S_ * 128)) * 128))
+        route = (
+            min(2 * B, int(route_capacity))
+            if route_capacity
+            else min(2 * B, max(128, -(-(2 * B * 5) // (4 * S_ * 128)) * 128))
+        )
 
     def occ_g(c, i):
         if route:
@@ -1004,6 +1011,7 @@ def make_sharded_query_fn(
     resolve_budget: int | None = None,
     walk_early_exit: bool = False,
     owner_route: bool = False,
+    route_capacity: int | None = None,
 ):
     """jit'd SPMD query fn with B sharded over 'dp', index over 'shard'.
 
@@ -1040,6 +1048,7 @@ def make_sharded_query_fn(
             resolve_budget=resolve_budget,
             walk_early_exit=walk_early_exit,
             owner_route=owner_route,
+            route_capacity=route_capacity,
         ),
         mesh=mesh,
         in_specs=(idx_specs, P() if lut_p else None, P("dp", None), P("dp")),

@@ -216,6 +216,7 @@ class QueryEngine:
                 resolve_budget=budget,
                 walk_early_exit=True,
                 owner_route=True,  # no-op at num_shards == 1
+                route_capacity=self.cfg.owner_route_capacity,
             )
             self._query_fn = make_sharded_query_fn(
                 self.sidx, mesh, max_hits=self.H, lut_p=0, **ex

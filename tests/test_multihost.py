@@ -83,6 +83,29 @@ def test_two_process_sharded_parity():
 
 
 @pytest.mark.slow
+def test_two_process_small_scale_stress():
+    """Beyond-toy 2-process case (VERDICT r2): a ~1.2M-symbol corpus with
+    owner-routed ranks at a deliberately undersized capacity (forces the
+    local overflow while_loop rounds), the direct-resolve tier stripped
+    (forces the sampled-LF walk's per-step cross-process collectives),
+    and the exact-attribution sweep on — full count parity required."""
+    rc0, out0, rc1, out1 = _run_group(
+        _free_port(),
+        [
+            "--iters", "2", "--config", "small", "--scale", "4",
+            "--owner-route", "--route-capacity", "64",
+            "--strip-dsa", "--exact-hist",
+        ],
+        timeout=420.0,
+    )
+    assert rc0 == 0, out0
+    assert rc1 == 0, out1
+    res = json.loads([l for l in out0.splitlines() if l.startswith("{")][-1])
+    assert res["parity_bad"] == 0
+    assert res["parity_queries"] == 64
+
+
+@pytest.mark.slow
 def test_fault_injection_sigkill_and_rejoin_by_reload():
     port = _free_port()
     p1 = _launch(port, 1, 2, ["--serve-loop"])
