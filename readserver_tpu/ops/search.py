@@ -46,6 +46,39 @@ def encode_query_batch(
     """
     B = len(kmers)
     out = np.zeros((B, max_len), dtype=np.int32)
+    if B and all(isinstance(k, (str, bytes)) for k in kmers):
+        # vectorized fast path (the wire-serving hot spot: encoding was
+        # ~9µs/query in the Python loop — 50x one device search step):
+        # one join, one LUT gather, one flat scatter for the whole batch
+        lengths64 = np.fromiter(
+            (len(k) for k in kmers), dtype=np.int64, count=B
+        )
+        if lengths64.min() < 1 or lengths64.max() > max_len:
+            bad = int(
+                np.flatnonzero((lengths64 < 1) | (lengths64 > max_len))[0]
+            )
+            raise ValueError(
+                f"query length {lengths64[bad]} outside [1, {max_len}]"
+            )
+        joined = b"".join(
+            k.encode("ascii") if isinstance(k, str) else bytes(k)
+            for k in kmers
+        )
+        raw = np.frombuffer(joined, dtype=np.uint8)
+        codes = alphabet._ENCODE_LUT[raw]
+        if codes.size and not codes.all():
+            bad = chr(raw[int(np.argmin(codes))])
+            raise ValueError(f"non-ACGT character {bad!r} in sequence")
+        # right-aligned flat scatter: query b's chars land at row b,
+        # columns [max_len - L_b, max_len)
+        starts = np.repeat(
+            max_len * np.arange(B, dtype=np.int64) + (max_len - lengths64),
+            lengths64,
+        )
+        cum = np.cumsum(lengths64) - lengths64
+        offs = np.arange(len(raw), dtype=np.int64) - np.repeat(cum, lengths64)
+        out.reshape(-1)[starts + offs] = codes
+        return out, lengths64.astype(np.int32)
     lengths = np.zeros(B, dtype=np.int32)
     for b, km in enumerate(kmers):
         codes = km if isinstance(km, np.ndarray) else alphabet.encode(km)

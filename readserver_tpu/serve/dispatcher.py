@@ -26,11 +26,33 @@ from readserver_tpu.serve.engine import (
 from readserver_tpu.serve.metrics import Metrics
 
 
+class _Block:
+    """A client batch in the queue: one future for N queries.
+
+    Per-query futures cost ~10µs each of event-loop bookkeeping — at
+    wire-level batch sizes (thousands of k-mers per POST /batch) that
+    Python churn dominated the serve path (measured: 65k queries spent
+    more time in future plumbing than on the device).  A block keeps ONE
+    future per client request; batches may take slices of a block, and
+    the future resolves when every slice has returned."""
+
+    __slots__ = ("kmers", "counts_only", "fut", "results", "taken", "done")
+
+    def __init__(self, kmers, counts_only, fut):
+        self.kmers = kmers
+        self.counts_only = counts_only
+        self.fut = fut
+        self.results: list = [None] * len(kmers)
+        self.taken = 0      # queries handed to batches so far
+        self.done = 0       # queries completed so far
+
+
 class Dispatcher:
     def __init__(self, engine: QueryEngine, metrics: Metrics | None = None):
         self.engine = engine
         self.metrics = metrics or Metrics()
-        self._queue: list[tuple[str, bool, asyncio.Future]] = []
+        self._queue: list[_Block] = []
+        self._pending = 0   # queries queued and not yet handed to a batch
         self._wake: asyncio.Event = asyncio.Event()
         self._full: asyncio.Event = asyncio.Event()  # fires on B-th arrival
         self._task: asyncio.Task | None = None
@@ -75,12 +97,8 @@ class Dispatcher:
                 self.submit(kmer, counts_only), self.submit(rc, counts_only)
             )
             return fold_strand_results(kmer, fwd, rev)
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        self._queue.append((kmer, counts_only, fut))
-        self._wake.set()
-        if len(self._queue) >= self.engine.B:
-            self._full.set()  # wake the fill loop early — batch is full
-        return await fut
+        (res,) = await self.submit_many([kmer], counts_only)
+        return res
 
     async def submit_many(
         self,
@@ -89,23 +107,52 @@ class Dispatcher:
         both_strands: bool = False,
     ) -> list[QueryResult]:
         """Enqueue a whole client batch at once (the POST /batch wire
-        path): one wake, queries fly together instead of trickling in."""
+        path): ONE block, ONE future — queries fly together and the
+        per-query event-loop churn vanishes."""
         if both_strands:
-            return list(
-                await asyncio.gather(*[
-                    self.submit(k, counts_only, both_strands=True)
-                    for k in kmers
-                ])
+            # two blocks (forward + reverse-complement, palindromes only
+            # forward), enqueued together so they share the batch window
+            rcs = [rc_string(k) for k in kmers]
+            rc_needed = [r for k, r in zip(kmers, rcs) if r != k]
+            fwd, rev_res = await asyncio.gather(
+                self.submit_many(kmers, counts_only),
+                self.submit_many(rc_needed, counts_only),
             )
-        loop = asyncio.get_running_loop()
-        futs = [loop.create_future() for _ in kmers]
-        self._queue.extend(
-            (k, counts_only, f) for k, f in zip(kmers, futs)
-        )
+            it = iter(rev_res)
+            return [
+                fold_strand_results(k, f, next(it) if r != k else None)
+                for k, r, f in zip(kmers, rcs, fwd)
+            ]
+        if not kmers:
+            return []
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        self._queue.append(_Block(list(kmers), counts_only, fut))
+        self._pending += len(kmers)
         self._wake.set()
-        if len(self._queue) >= self.engine.B:
-            self._full.set()
-        return list(await asyncio.gather(*futs))
+        if self._pending >= self.engine.B:
+            self._full.set()  # wake the fill loop early — batch is full
+        return await fut
+
+    def _take_batch(self, B: int):
+        """Slice up to B queries off the front blocks.
+
+        Returns ``(kmers, counts_only, [(block, block_offset, n), ...])``.
+        A large block spans several device batches; its future resolves
+        when the last slice lands."""
+        kmers: list[str] = []
+        slices: list[tuple[_Block, int, int]] = []
+        counts_only = True
+        while self._queue and len(kmers) < B:
+            blk = self._queue[0]
+            take = min(B - len(kmers), len(blk.kmers) - blk.taken)
+            kmers.extend(blk.kmers[blk.taken : blk.taken + take])
+            slices.append((blk, blk.taken, take))
+            counts_only = counts_only and blk.counts_only
+            blk.taken += take
+            self._pending -= take
+            if blk.taken == len(blk.kmers):
+                self._queue.pop(0)
+        return kmers, counts_only, slices
 
     async def _run(self) -> None:
         deadline_s = self.engine.cfg.batch_deadline_ms / 1e3
@@ -121,7 +168,7 @@ class Dispatcher:
             # deadline lapses — no polling (the old sleep(deadline/8) loop
             # added up to deadline/8 of avoidable jitter per batch)
             t_first = time.perf_counter()
-            while len(self._queue) < B:
+            while self._pending < B:
                 remaining = deadline_s - (time.perf_counter() - t_first)
                 if remaining <= 0 or self._closed:
                     break
@@ -132,18 +179,16 @@ class Dispatcher:
                     )
                 except asyncio.TimeoutError:
                     break
-            batch, self._queue = self._queue[:B], self._queue[B:]
+            batch = self._take_batch(B)
             if self._queue:
                 self._wake.set()  # more waiting — go again immediately
-            await self._fly(batch)
+            await self._fly(*batch)
         # drain on close
-        for _, _, fut in self._queue:
-            if not fut.done():
-                fut.cancel()
+        for blk in self._queue:
+            if not blk.fut.done():
+                blk.fut.cancel()
 
-    async def _fly(self, batch) -> None:
-        kmers = [k for k, _, _ in batch]
-        counts_only = all(c for _, c, _ in batch)
+    async def _fly(self, kmers, counts_only, slices) -> None:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         try:
@@ -155,20 +200,24 @@ class Dispatcher:
             results = await loop.run_in_executor(self._executor, fn, kmers)
         except Exception as e:  # propagate to every waiter
             self.metrics.record_error()
-            for _, _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(e)
+            for blk, _, _ in slices:
+                if not blk.fut.done():
+                    blk.fut.set_exception(e)
             return
         dt = time.perf_counter() - t0
-        self.metrics.record_batch(len(batch), dt)
+        self.metrics.record_batch(len(kmers), dt)
         if log.isEnabledFor(logging.INFO):
             # structured JSON per batch (SURVEY.md §5 observability)
             log.info(json.dumps({
                 "event": "batch",
-                "queries": len(batch),
+                "queries": len(kmers),
                 "counts_only": counts_only,
                 "latency_ms": round(dt * 1e3, 3),
             }))
-        for (_, _, fut), res in zip(batch, results):
-            if not fut.done():
-                fut.set_result(res)
+        pos = 0
+        for blk, off, n in slices:
+            blk.results[off : off + n] = results[pos : pos + n]
+            pos += n
+            blk.done += n
+            if blk.done == len(blk.kmers) and not blk.fut.done():
+                blk.fut.set_result(blk.results)
