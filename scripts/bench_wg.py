@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Config-4 (wg) bench: whole-genome scale fraction where sharding is a
+correctness requirement, served on one chip (BASELINE.json:10).
+
+At the built scale the global BWT exceeds the int32 position range a
+single DeviceIndex can address (n > 2^31 — index/builder refuses the
+monolithic build) and the full tier set is several times one chip's HBM,
+so the ONLY correct deployment is the doc-sharded cohort: independent
+per-shard FM-indexes, counts/histograms merged at the end, read ids
+mapped to the global space — `MultiEngine` time-multiplexes the shards
+on this host's single chip (a pod slice would run them device-parallel
+via `parallel/doc_sharded.py`, same answers by construction).
+
+    python scripts/build_wg.py --scale 0.05 --shards 5   # hours, resumable
+    python scripts/bench_wg.py --scale 0.05 --shards 5
+
+Writes BENCH_wg.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=0.05)
+    ap.add_argument("--shards", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--parity-queries", type=int, default=128)
+    ap.add_argument("--hbm-budget-gb", type=float, default=14.0,
+                    help="total chip budget split across shard engines")
+    args = ap.parse_args()
+
+    import jax
+
+    from readserver_tpu import alphabet
+    from readserver_tpu.config import ServeConfig
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.index.cohort import load_cohort
+    from readserver_tpu.oracle.naive import window_multiset_counts
+    from readserver_tpu.serve.engine import MultiEngine
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from build_wg import wg_cache
+
+    cache = wg_cache(args.scale, args.shards)
+    if not (cache / "cohort.json").exists():
+        print(json.dumps({"error": f"build first: {cache} missing"}))
+        return 1
+    t0 = time.time()
+    parts, manifest = load_cohort(cache, mmap=True)
+    n_total = sum(p.n for p in parts)
+    assert n_total >= (1 << 31), (
+        "wg demo must exceed the int32 single-device range"
+    )
+    # split the chip budget across the time-multiplexed shard engines
+    cfg = ServeConfig(
+        batch_size=args.batch,
+        max_hits=64,
+        hbm_budget_gb=args.hbm_budget_gb / len(parts),
+    )
+    eng = MultiEngine(parts, cfg)
+    eng.warmup()
+    plans = [e.tier_plan for e in eng.engines]
+    print(
+        f"# wg: n={n_total} ({n_total/(1<<31):.2f}x int32 range), "
+        f"{len(parts)} shards, per-shard tiers="
+        f"{sorted(plans[0].keep) or ['base-only']}, "
+        f"engine up at {time.time()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+
+    corpus = simulate.simulate_config("wg", scale=args.scale)
+    mat = corpus.reads[0].base
+    corpus.reads.clear()
+    spec = simulate.CONFIGS["wg"]
+    k = spec.kmer_len
+    B = args.batch
+    rng = np.random.default_rng(41)
+    # query sample off read windows (+10% misses)
+    total_q = B * args.iters
+    rows = rng.integers(0, mat.shape[0], size=total_q)
+    offs = rng.integers(0, mat.shape[1] - k + 1, size=total_q)
+    km_codes = mat[rows[:, None], offs[:, None] + np.arange(k)[None, :]]
+    miss = rng.random(total_q) < 0.1
+    km_codes[miss] = rng.integers(1, 5, size=(int(miss.sum()), k))
+    kmers = ["".join(alphabet.decode(c)) for c in km_codes]
+    print(f"# queries staged at {time.time()-t0:.0f}s", file=sys.stderr,
+          flush=True)
+
+    res0 = eng.query_batch(kmers[:B])
+    nchk = min(args.parity_queries, B)
+    want = window_multiset_counts(mat, km_codes[:nchk].astype(np.uint8))
+    for i in range(nchk):
+        if res0[i].count != int(want[i]):
+            print(json.dumps({"error": f"count parity q{i}"}))
+            return 1
+        # every enumerated hit must spell the query (global read-id space)
+        for h in res0[i].hits:
+            r, o = h["read_id"], h["offset"]
+            if not np.array_equal(mat[r, o : o + k], km_codes[i]):
+                print(json.dumps({"error": f"hit parity q{i}"}))
+                return 1
+    print(f"# parity OK ({nchk} counts + hit spells) at "
+          f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    t1 = time.perf_counter()
+    for it in range(args.iters):
+        eng.query_batch(kmers[it * B : (it + 1) * B])
+    dt = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    for it in range(args.iters):
+        eng.count_batch(kmers[it * B : (it + 1) * B])
+    dtc = time.perf_counter() - t2
+
+    result = {
+        "metric": "wg_sharded_queries_per_s",
+        "value": round(B * args.iters / dt),
+        "unit": "full search+resolve+attribution queries/s",
+        "vs_baseline": None,
+        "config": "wg",
+        "scale": args.scale,
+        "n_symbols": int(n_total),
+        "int32_range_multiple": round(n_total / (1 << 31), 2),
+        "num_reads": int(manifest["num_reads"]),
+        "doc_shards": len(parts),
+        "deployment": "multi-engine (1 chip, time-multiplexed)",
+        "per_shard_tiers": sorted(plans[0].keep),
+        "count_queries_per_s": round(B * args.iters / dtc),
+        "batch": B,
+        "max_hits": cfg.max_hits,
+        "exact_attribution": True,
+        "parity_queries": nchk,
+        "device": jax.devices()[0].device_kind,
+    }
+    (REPO / "BENCH_wg.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

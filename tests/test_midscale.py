@@ -86,6 +86,34 @@ def test_midscale_search_resolve_parity(mid):
             ), qi
 
 
+@pytest.mark.slow
+def test_midscale_chr20_serving_shape(mid):
+    """The exact tier shape the chr20 budget plan ships ({rank2, fused} —
+    see index/budget.py) resolves bit-identically to the full tier set at
+    real block counts: the fused walk's masked-popcount plane decode must
+    agree with dsa across hundreds of thousands of blocks."""
+    corpus, packed = mid
+    k = corpus.spec.kmer_len
+    B = 256
+    kmers = simulate.sample_query_kmers_fast(
+        corpus, B, k, seed=9, miss_frac=0.1
+    ).astype(np.int32)
+    lengths = np.full(B, k, dtype=np.int32)
+    full = DeviceIndex.from_packed(packed)
+    chr20_shape = DeviceIndex.from_packed(packed, tiers={"rank2", "fused"})
+    assert chr20_shape.dsa is None and chr20_shape.lf is None
+    assert chr20_shape.fused_rows is not None
+
+    def run(dev):
+        l, u = backward_search(dev, kmers, lengths)
+        return resolve_intervals(dev, l, u, max_hits=16)
+
+    a = jax.tree_util.tree_map(np.asarray, jax.jit(run)(full))
+    b = jax.tree_util.tree_map(np.asarray, jax.jit(run)(chr20_shape))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_triple_tier_gating(monkeypatch, tiny_corpus):
     """Auto kstep drops to 2 above TRIPLE_TIER_MAX_N (the 16 B/sym tier is
     capacity-gated, builder.py)."""
