@@ -18,6 +18,29 @@ import sys
 import time
 
 
+def _ingest_file(args) -> tuple[list, list]:
+    """FASTA/FASTQ ingest (trim → N-split → min-len) → (reads, names)."""
+    from readserver_tpu.corpus import io as cio
+
+    reads = []
+    read_names = []
+    if args.fastq:
+        records = (
+            (name, seq[: cio.mott_trim_len(quals, args.qual_trim)]
+             if args.qual_trim > 0 else seq)
+            for name, seq, quals in cio.read_fastq_quals(args.fastq)
+        )
+    else:
+        records = cio.read_fasta(args.fasta)
+    for name, seq in records:
+        segs = cio.normalize_read(seq, min_len=args.min_len)
+        for j, s in enumerate(segs):
+            reads.append(s)
+            # N-split reads keep their ingest name, suffixed per segment
+            read_names.append(name if len(segs) == 1 else f"{name}.{j}")
+    return reads, read_names
+
+
 def cmd_build(args) -> int:
     import numpy as np
 
@@ -28,24 +51,7 @@ def cmd_build(args) -> int:
     sample_names = None
     read_names = None
     if args.fastq or args.fasta:
-        from readserver_tpu.corpus import io as cio
-
-        reads = []
-        read_names = []
-        if args.fastq:
-            records = (
-                (name, seq[: cio.mott_trim_len(quals, args.qual_trim)]
-                 if args.qual_trim > 0 else seq)
-                for name, seq, quals in cio.read_fastq_quals(args.fastq)
-            )
-        else:
-            records = cio.read_fasta(args.fasta)
-        for name, seq in records:
-            segs = cio.normalize_read(seq, min_len=args.min_len)
-            for j, s in enumerate(segs):
-                reads.append(s)
-                # N-split reads keep their ingest name, suffixed per segment
-                read_names.append(name if len(segs) == 1 else f"{name}.{j}")
+        reads, read_names = _ingest_file(args)
     else:
         from readserver_tpu.corpus import simulate
 
@@ -86,6 +92,33 @@ def cmd_build(args) -> int:
     print(
         f"# built n={packed.n} reads={packed.num_reads} "
         f"in {time.time()-t0:.1f}s → {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_append(args) -> int:
+    """Streaming ingest: add a read batch to an existing cohort artifact
+    as a new doc shard — no rebuild (index/cohort.append_to_cohort)."""
+    from readserver_tpu.index.cohort import append_to_cohort
+
+    t0 = time.time()
+    if args.fastq or args.fasta:
+        reads, read_names = _ingest_file(args)
+    else:
+        from readserver_tpu.corpus import simulate
+
+        corpus = simulate.simulate_config(args.config, scale=args.scale)
+        reads, read_names = corpus.reads, None
+    append_to_cohort(
+        args.cohort,
+        reads,
+        sample_names=[args.sample] if args.sample else None,
+        read_names=read_names,
+    )
+    print(
+        f"# appended {len(reads)} reads as a new shard in "
+        f"{time.time()-t0:.1f}s → {args.cohort}",
         file=sys.stderr,
     )
     return 0
@@ -286,6 +319,24 @@ def main(argv=None) -> int:
                         "independent sub-indexes (out-of-core path)")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=cmd_build)
+
+    ab = sub.add_parser(
+        "append",
+        help="append reads to a cohort artifact as a new doc shard "
+             "(streaming ingest — no rebuild)",
+    )
+    ab.add_argument("cohort", help="existing cohort artifact directory")
+    ab.add_argument("--fastq")
+    ab.add_argument("--fasta")
+    ab.add_argument("--config", default="tiny",
+                    help="simulated config (when no file given)")
+    ab.add_argument("--scale", type=float, default=1.0)
+    ab.add_argument("--min-len", type=int, default=20)
+    ab.add_argument("--qual-trim", type=int, default=0)
+    ab.add_argument("--sample", default="",
+                    help="sample name for the appended batch (one new "
+                         "sample id; default autogenerated)")
+    ab.set_defaults(fn=cmd_append)
 
     q = sub.add_parser("query", help="query an index artifact")
     q.add_argument("--index", required=True)

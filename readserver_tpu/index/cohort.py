@@ -229,6 +229,129 @@ def build_cohort_stream(
     return out
 
 
+def append_to_cohort(
+    path: str | Path,
+    reads: Sequence[np.ndarray],
+    sample_ids: np.ndarray | None = None,
+    sample_names: Sequence[str] | None = None,
+    read_names: Sequence[str] | None = None,
+    config: IndexConfig | None = None,
+    max_bases_per_shard: int | None = None,
+    **build_kw,
+) -> Path:
+    """Streaming ingest without a rebuild: new reads join an existing
+    cohort as fresh doc shards appended at the end.
+
+    This is the framework's answer to the reference's incremental-growth
+    problem (ropebwt2-style BWT extension, SURVEY.md §2 "streaming
+    ingest"): instead of extending a monolithic BWT in place — a
+    sequential, pointer-chasing algorithm with no TPU mapping — the
+    cohort gains an independent per-batch FM-index shard, and the
+    document-sharded merge (``parallel/doc_sharded.py`` /
+    ``serve.MultiEngine``) makes the union queryable immediately with
+    answers identical to a from-scratch rebuild (counts sum; read ids
+    offset by the cumulative base; histograms merge by sample name).
+
+    Contract:
+      * ``sample_ids`` are in the GLOBAL sample-id space.  ``None`` means
+        "this batch is one new sample" (id = current ``num_samples``) —
+        the common ingest shape (one FASTQ = one donor).
+      * ``sample_names`` names any NEW ids past the existing space, in
+        order; autogenerated when omitted.
+      * Crash safety matches the builder: shard artifacts are written
+        manifest-last, and the cohort manifest is atomically replaced
+        only after every new shard is complete.  A crash mid-append
+        leaves the prior cohort fully intact (orphan shard dirs are
+        reused on retry).
+
+    Periodic compaction (merging many small appended shards into one via
+    ``index/merge.py``) is the operator's lever against per-query
+    fan-out growth, exactly as the reference compacted per-sample BWTs.
+    """
+    out = Path(path)
+    manifest = json.loads((out / COHORT_MANIFEST).read_text())
+    if manifest.get("kind") != "cohort":
+        raise ValueError(f"{out} is not a cohort artifact")
+    config = config or IndexConfig()
+    if manifest["format_version"] != config.format_version:
+        raise ValueError(
+            f"format_version mismatch: cohort has "
+            f"{manifest['format_version']}, config has "
+            f"{config.format_version}"
+        )
+    m = len(reads)
+    if m == 0:
+        return out
+    old_ns = int(manifest["num_samples"])
+    if sample_ids is None:
+        sample_ids = np.full(m, old_ns, dtype=np.int32)
+    sample_ids = np.asarray(sample_ids, dtype=np.int32)
+    if (sample_ids < 0).any():
+        raise ValueError("negative sample id")
+    new_ns = max(old_ns, int(sample_ids.max()) + 1)
+    names = list(manifest["sample_names"])
+    fresh = [f"sample_{i}" for i in range(old_ns, new_ns)]
+    if sample_names is not None:
+        if len(sample_names) != new_ns - old_ns:
+            raise ValueError(
+                f"sample_names must name the {new_ns - old_ns} new "
+                f"sample ids, got {len(sample_names)}"
+            )
+        fresh = list(sample_names)
+    names += fresh
+
+    # split the batch into shard spans (one shard unless a cap is given)
+    if max_bases_per_shard is None:
+        spans = [(0, m)]
+    else:
+        spans, lo, acc = [], 0, 0
+        for i, r in enumerate(reads):
+            acc += len(r)
+            if acc >= max_bases_per_shard and i + 1 > lo:
+                spans.append((lo, i + 1))
+                lo, acc = i + 1, 0
+        if lo < m:
+            spans.append((lo, m))
+
+    next_shard = int(manifest["num_shards"])
+    total_reads = int(manifest["num_reads"])
+    shard_dirs = list(manifest["shards"])
+    log_path = out / PROGRESS_LOG
+    for lo, hi in spans:
+        name = f"shard_{next_shard:04d}"
+        packed = build_index(
+            list(reads[lo:hi]),
+            sample_ids=sample_ids[lo:hi],
+            config=config,
+            sample_names=names,
+            read_names=(
+                list(read_names[lo:hi]) if read_names is not None else None
+            ),
+            **build_kw,
+        )
+        packed.num_samples = new_ns
+        artifact.save_artifact(packed, out / name)
+        total_reads += hi - lo
+        with open(log_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "shard": name,
+                        "shard_index": next_shard,
+                        "reads_consumed": total_reads,
+                        "appended": True,
+                    }
+                )
+                + "\n"
+            )
+        shard_dirs.append(name)
+        next_shard += 1
+    _write_cohort_manifest(
+        out, shard_dirs, total_reads, new_ns, names, config
+    )
+    return out
+
+
 def load_cohort(
     path: str | Path, mmap: bool = True
 ) -> tuple[list[PackedIndex], dict]:

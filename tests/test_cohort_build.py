@@ -188,3 +188,96 @@ def test_cli_doc_shards_build_and_query(tiny_corpus, tmp_path, capsys):
     assert main(["query", "--index", out, "--kmer", km]) == 0
     body = json.loads(capsys.readouterr().out.strip())
     assert body["count"] == naive_count(tiny_corpus.reads[:200], km)
+
+
+def test_append_to_cohort_matches_rebuild(tiny_corpus, tmp_path):
+    """Streaming ingest (append_to_cohort): appended reads are queryable
+    with answers identical to a monolithic from-scratch rebuild — counts
+    sum, read ids continue the global space, histograms pick up the new
+    sample name."""
+    from readserver_tpu.index.cohort import append_to_cohort
+    from readserver_tpu.serve import MultiEngine
+
+    base_reads = tiny_corpus.reads[:300]
+    base_sids = np.asarray(tiny_corpus.sample_ids[:300])
+    extra = tiny_corpus.reads[300:400]
+    old_ns = int(base_sids.max()) + 1
+
+    path = build_cohort(base_reads, base_sids, 2, tmp_path / "pop")
+    append_to_cohort(path, extra, sample_names=["donor_x"])
+
+    parts, manifest = load_cohort(path)
+    assert manifest["num_shards"] == 3
+    assert manifest["num_reads"] == 400
+    assert manifest["num_samples"] == old_ns + 1
+    assert manifest["sample_names"][-1] == "donor_x"
+
+    cfg = ServeConfig(batch_size=16, max_hits=64)
+    multi = MultiEngine(parts, cfg)
+    combined_sids = np.concatenate(
+        [base_sids, np.full(len(extra), old_ns, dtype=np.int32)]
+    )
+    mono = QueryEngine(
+        build_index(
+            tiny_corpus.reads[:400],
+            sample_ids=combined_sids,
+            sample_names=manifest["sample_names"],
+        ),
+        cfg,
+    )
+    corpus = tiny_corpus
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 8, corpus.spec.kmer_len, seed=17, miss_frac=0.25
+        )
+    ]
+    # include k-mers drawn from the APPENDED reads specifically
+    k = corpus.spec.kmer_len
+    kmers += [alphabet.decode(extra[i][:k]) for i in (0, 50, 99)]
+    for rm, rx in zip(mono.query_batch(kmers), multi.query_batch(kmers)):
+        assert rm.count == rx.count
+        if not (rm.hits_truncated or rx.hits_truncated):
+            key = lambda h: (h["read_id"], h["offset"])
+            assert sorted(map(key, rm.hits)) == sorted(map(key, rx.hits))
+            assert (rm.sample_hist or {}) == (rx.sample_hist or {})
+    # appended reads live at global ids past the original cohort
+    assert multi.read_sequence(399) == alphabet.decode(corpus.reads[399])
+    # a k-mer unique to the appended batch attributes to the new sample
+    hist = multi.query_batch([kmers[-1]])[0].sample_hist
+    assert hist and hist.get("donor_x", 0) >= 1
+
+
+def test_cli_append(tiny_corpus, tmp_path, capsys):
+    from readserver_tpu.cli import main
+    from readserver_tpu.corpus import io as cio
+    from readserver_tpu.oracle import naive_count
+
+    fa = tmp_path / "base.fa"
+    cio.write_fasta(
+        fa,
+        (
+            (f"read_{i}", alphabet.decode(r))
+            for i, r in enumerate(tiny_corpus.reads[:150])
+        ),
+    )
+    out = str(tmp_path / "pop")
+    assert main(
+        ["build", "--fasta", str(fa), "--out", out, "--doc-shards", "2"]
+    ) == 0
+    fa2 = tmp_path / "extra.fa"
+    cio.write_fasta(
+        fa2,
+        (
+            (f"x_{i}", alphabet.decode(r))
+            for i, r in enumerate(tiny_corpus.reads[150:200])
+        ),
+    )
+    assert main(
+        ["append", out, "--fasta", str(fa2), "--sample", "late_donor"]
+    ) == 0
+    km = alphabet.decode(tiny_corpus.reads[180][:20])
+    capsys.readouterr()
+    assert main(["query", "--index", out, "--kmer", km]) == 0
+    body = json.loads(capsys.readouterr().out.strip())
+    assert body["count"] == naive_count(tiny_corpus.reads[:200], km)
