@@ -124,6 +124,27 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge a cohort's doc shards down (interleave merge, read order and
+    global sample space preserved) — undoes append fan-out."""
+    from pathlib import Path
+
+    from readserver_tpu.index.cohort import COHORT_MANIFEST, compact_cohort
+
+    t0 = time.time()
+    compact_cohort(args.cohort, target_shards=args.target_shards)
+    manifest = json.loads(
+        (Path(args.cohort) / COHORT_MANIFEST).read_text()
+    )
+    print(
+        f"# compacted to {manifest['num_shards']} shards "
+        f"({manifest['num_reads']} reads) in {time.time()-t0:.1f}s "
+        f"→ {args.cohort}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def _load_engine(index_path: str, batch_size: int, num_shards: int):
     """Load one artifact (single/interval-sharded) or a comma-separated
     list of artifacts (document-sharded, one per shard)."""
@@ -337,6 +358,14 @@ def main(argv=None) -> int:
                     help="sample name for the appended batch (one new "
                          "sample id; default autogenerated)")
     ab.set_defaults(fn=cmd_append)
+
+    cp = sub.add_parser(
+        "compact",
+        help="merge a cohort's doc shards down (interleave merge)",
+    )
+    cp.add_argument("cohort", help="cohort artifact directory")
+    cp.add_argument("--target-shards", type=int, default=1)
+    cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="query an index artifact")
     q.add_argument("--index", required=True)

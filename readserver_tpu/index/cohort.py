@@ -352,6 +352,66 @@ def append_to_cohort(
     return out
 
 
+def compact_cohort(
+    path: str | Path, target_shards: int = 1, mmap: bool = True
+) -> Path:
+    """Merge a cohort's shards down to ``target_shards`` via the
+    interleave BWT merge (no suffix re-sort) — the operator's lever
+    against per-query fan-out after repeated :func:`append_to_cohort`.
+
+    Shards stay in read order (contiguous groups balanced by symbol
+    count), so global read ids are unchanged; sample ids pass through the
+    merge in the shared global space (``shared_samples=True``).  Answers
+    are identical before and after by the interleave-merge invariant.
+    The new manifest is atomically swapped in only after every merged
+    shard artifact is complete; the superseded shard dirs are removed
+    afterwards (a crash in between leaves harmless orphans).
+
+    Peak host memory is one GROUP's decoded BWTs — compact pairwise
+    (``target_shards = ceil(n/2)``) when shards are large.
+    """
+    from readserver_tpu.index.merge import merge_indexes_interleave
+
+    out = Path(path)
+    parts, manifest = load_cohort(out, mmap=mmap)
+    old_dirs = list(manifest["shards"])
+    if target_shards >= len(parts):
+        return out
+    gen = 1 + max(
+        [int(d.split("_")[0][len("compact"):] or 0)
+         for d in old_dirs if d.startswith("compact")] or [0]
+    )
+    spans = partition_spans([p.n for p in parts], target_shards)
+    config = parts[0].config
+    new_dirs = []
+    for i, (lo, hi) in enumerate(spans):
+        name = f"compact{gen}_{i:04d}"
+        merged = (
+            parts[lo]
+            if hi - lo == 1
+            else merge_indexes_interleave(
+                parts[lo:hi], config=config, shared_samples=True
+            )
+        )
+        merged.num_samples = int(manifest["num_samples"])
+        artifact.save_artifact(merged, out / name)
+        new_dirs.append(name)
+    _write_cohort_manifest(
+        out,
+        new_dirs,
+        int(manifest["num_reads"]),
+        int(manifest["num_samples"]),
+        list(manifest["sample_names"]),
+        config,
+    )
+    import shutil
+
+    for d in old_dirs:
+        if d not in new_dirs:
+            shutil.rmtree(out / d, ignore_errors=True)
+    return out
+
+
 def load_cohort(
     path: str | Path, mmap: bool = True
 ) -> tuple[list[PackedIndex], dict]:

@@ -164,6 +164,7 @@ def merge_indexes_interleave(
     indexes: Sequence[PackedIndex],
     config: IndexConfig | None = None,
     fast_resolve: bool = True,
+    shared_samples: bool = False,
 ) -> PackedIndex:
     """Merge indexes by BWT interleaving — no suffix re-sort.
 
@@ -171,6 +172,12 @@ def merge_indexes_interleave(
     the results are bit-identical.  ``dollar_map`` merges positionally:
     within a source the ``$``-rank order is preserved by the interleave, so
     the merged map is a masked scatter of the (read-offset) source maps.
+
+    ``shared_samples=True`` treats every input as already living in ONE
+    global sample-id space (the cohort-shard convention — every shard
+    carries the full global name list): sample ids pass through unchanged
+    and the name lists union elementwise.  The default (offsetting) is
+    the per-sample-BWT merge the reference's bwt-merge stage performs.
     """
     if not indexes:
         raise ValueError("nothing to merge")
@@ -190,17 +197,32 @@ def merge_indexes_interleave(
     lengths: list[np.ndarray] = []
     bases: list[np.ndarray] = []
     offset = 0
+    ns_shared = max(max(idx.num_samples, 1) for idx in indexes)
+    shared_names: list[str | None] = [None] * ns_shared
     for idx in indexes:
-        sample_ids.append(np.asarray(idx.read_to_sample, dtype=np.int32) + offset)
+        sid = np.asarray(idx.read_to_sample, dtype=np.int32)
         ns = max(idx.num_samples, 1)
         names = list(idx.sample_names) or [f"sample_{offset}"]
-        sample_names.extend(
-            names[:ns] + [f"sample_{offset + i}" for i in range(len(names), ns)]
-        )
+        if shared_samples:
+            sample_ids.append(sid)
+            for i, nm in enumerate(names[:ns_shared]):
+                if shared_names[i] is None:
+                    shared_names[i] = nm
+        else:
+            sample_ids.append(sid + offset)
+            sample_names.extend(
+                names[:ns]
+                + [f"sample_{offset + i}" for i in range(len(names), ns)]
+            )
         offset += ns
         lengths.append(np.asarray(idx.read_lengths, dtype=np.int64))
         total = int(idx.read_offsets[-1])
         bases.append(alphabet.unpack_2bit(np.asarray(idx.corpus_packed), total))
+    if shared_samples:
+        sample_names = [
+            nm if nm is not None else f"sample_{i}"
+            for i, nm in enumerate(shared_names)
+        ]
 
     for idx in indexes[1:]:
         nxt_bwt = bwt_of(idx)
@@ -229,9 +251,13 @@ def merge_indexes_interleave(
         read_lengths=read_lengths.astype(np.int32),
         corpus_packed=alphabet.pack_2bit(np.concatenate(bases)),
         read_offsets=read_offsets,
-        sample_names=_dedupe_names(sample_names),
+        sample_names=(
+            sample_names if shared_samples else _dedupe_names(sample_names)
+        ),
         config=config,
         fast_resolve=fast_resolve,
         sample_rate=sample_rate,
     )
+    if shared_samples:
+        merged.num_samples = ns_shared
     return _carry_payload(merged, indexes)

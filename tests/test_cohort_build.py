@@ -281,3 +281,46 @@ def test_cli_append(tiny_corpus, tmp_path, capsys):
     assert main(["query", "--index", out, "--kmer", km]) == 0
     body = json.loads(capsys.readouterr().out.strip())
     assert body["count"] == naive_count(tiny_corpus.reads[:200], km)
+
+
+def test_compact_cohort_preserves_answers(tiny_corpus, tmp_path):
+    """append → compact: interleave-merging shards in the SHARED global
+    sample space keeps counts, global read ids, and per-sample histograms
+    bit-identical (the shared_samples merge must NOT offset sample ids)."""
+    from readserver_tpu.index.cohort import append_to_cohort, compact_cohort
+    from readserver_tpu.serve import MultiEngine
+
+    base_sids = np.asarray(tiny_corpus.sample_ids[:200])
+    path = build_cohort(
+        tiny_corpus.reads[:200], base_sids, 2, tmp_path / "pop"
+    )
+    append_to_cohort(
+        path, tiny_corpus.reads[200:260], sample_names=["donor_y"]
+    )
+    cfg = ServeConfig(batch_size=16, max_hits=64)
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            tiny_corpus, 8, tiny_corpus.spec.kmer_len, seed=23,
+            miss_frac=0.25,
+        )
+    ]
+    kmers.append(
+        alphabet.decode(tiny_corpus.reads[230][: tiny_corpus.spec.kmer_len])
+    )
+    parts, _ = load_cohort(path)
+    before = MultiEngine(parts, cfg).query_batch(kmers)
+
+    compact_cohort(path, target_shards=1)
+    parts2, manifest = load_cohort(path)
+    assert manifest["num_shards"] == 1
+    assert manifest["sample_names"][-1] == "donor_y"
+    # old shard dirs are gone; the single compacted shard holds everything
+    assert parts2[0].num_reads == 260
+    after = MultiEngine(parts2, cfg).query_batch(kmers)
+    key = lambda h: (h["read_id"], h["offset"])
+    for rb, ra in zip(before, after):
+        assert rb.count == ra.count
+        if not (rb.hits_truncated or ra.hits_truncated):
+            assert sorted(map(key, rb.hits)) == sorted(map(key, ra.hits))
+            assert (rb.sample_hist or {}) == (ra.sample_hist or {})
