@@ -350,6 +350,24 @@ def main() -> int:
         "device": dev_kind,
         **extras,
     }
+    # fold in the other recorded ladder rungs (each written by its own
+    # script — scripts/bench_*.py — with parity built in) so the driver's
+    # single captured line carries the whole measurement ladder
+    recorded = {}
+    for fname, key, label in (
+        ("BENCH_scaling.json", "value", "multihost_scaling_efficiency"),
+        ("BENCH_wg.json", "value", "wg_sharded_queries_per_s"),
+        ("BENCH_cohort.json", "value", "cohort_attribution_queries_per_s"),
+        ("BENCH_wire.json", "count_qps", "served_wire_qps"),
+    ):
+        f = REPO / fname
+        if f.exists():
+            try:
+                recorded[label] = json.loads(f.read_text())[key]
+            except (ValueError, KeyError):
+                pass
+    if recorded:
+        result["recorded"] = recorded
     print(json.dumps(result))
     return 0
 
