@@ -364,8 +364,9 @@ def main() -> int:
         if f.exists():
             try:
                 recorded[label] = json.loads(f.read_text())[key]
-            except (ValueError, KeyError):
-                pass
+            except (ValueError, KeyError, TypeError, OSError):
+                pass  # malformed/non-dict/unreadable side JSON: skip, don't
+                # crash a completed measurement run (ADVICE r3)
     if recorded:
         result["recorded"] = recorded
     print(json.dumps(result))

@@ -100,8 +100,15 @@ def cmd_build(args) -> int:
 def cmd_append(args) -> int:
     """Streaming ingest: add a read batch to an existing cohort artifact
     as a new doc shard — no rebuild (index/cohort.append_to_cohort)."""
-    from readserver_tpu.index.cohort import append_to_cohort
+    from readserver_tpu.index.cohort import append_to_cohort, is_cohort
 
+    if not is_cohort(args.cohort):
+        print(
+            f"error: {args.cohort} is not a cohort artifact; append "
+            "requires one (rebuild with `build --doc-shards N`)",
+            file=sys.stderr,
+        )
+        return 2
     t0 = time.time()
     if args.fastq or args.fasta:
         reads, read_names = _ingest_file(args)

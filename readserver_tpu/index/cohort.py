@@ -70,6 +70,9 @@ def _write_cohort_manifest(
     manifest = {
         "kind": "cohort",
         "format_version": config.format_version,
+        # full build config recorded for inspection; shard 0's artifact
+        # manifest stays the source of truth (shard_build_params)
+        "config": json.loads(config.to_json()),
         "num_shards": len(shard_dirs),
         "shards": shard_dirs,
         "num_reads": num_reads,
@@ -79,6 +82,38 @@ def _write_cohort_manifest(
     tmp = out / (COHORT_MANIFEST + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
     tmp.rename(out / COHORT_MANIFEST)  # manifest last: presence == complete
+
+
+def shard_build_params(
+    path: Path, manifest: dict
+) -> tuple[IndexConfig, dict]:
+    """Recover the cohort's build-time layout from shard 0's artifact
+    manifest: the ``IndexConfig`` plus the tier kwargs (``sample_rate``,
+    ``fast_resolve``, ``kstep``) that :func:`build_index` needs to produce
+    a layout-identical shard.
+
+    The cohort manifest itself does not carry the full build config in
+    older artifacts (ADVICE r3, medium): appending with defaults to a
+    cohort built with non-default ``sample_rate``/``block_size`` silently
+    drifts shard layouts, and the doc-sharded mesh path then applies
+    shard 0's parameters to all shards.  Shard 0's artifact manifest is
+    the single source of truth for what was actually built."""
+    sub = json.loads(
+        (path / manifest["shards"][0] / artifact.MANIFEST_NAME).read_text()
+    )
+    cfg = IndexConfig(**sub["config"])
+    arrays = set(sub.get("arrays", ()))
+    rate = int(sub.get("sample_rate", 0))
+    kw: dict = {"fast_resolve": rate > 0}
+    if rate:
+        kw["sample_rate"] = rate
+    if "rank3_blocks" in arrays:
+        kw["kstep"] = 3
+    elif "rank2_blocks" in arrays:
+        kw["kstep"] = 2
+    else:
+        kw["pair_rank"] = False
+    return cfg, kw
 
 
 def build_cohort(
@@ -163,6 +198,7 @@ def build_cohort_stream(
 
     skip_reads = 0
     next_shard = 0
+    prior_dirs: list[str] = []
     if resume and log_path.exists():
         for line in log_path.read_text().splitlines():
             entry = json.loads(line)
@@ -170,6 +206,9 @@ def build_cohort_stream(
             if artifact.artifact_exists(sub):
                 skip_reads = entry["reads_consumed"]
                 next_shard = entry["shard_index"] + 1
+                # take names from the log, not f"shard_{s}": compaction
+                # may have renamed completed shards (compactN_xxxx)
+                prior_dirs.append(entry["shard"])
             else:
                 break
 
@@ -179,7 +218,7 @@ def build_cohort_stream(
         next(it)
         consumed += 1
 
-    shard_dirs = [f"shard_{s:04d}" for s in range(next_shard)]
+    shard_dirs = prior_dirs
     buf_reads: list[np.ndarray] = []
     buf_samples: list[int] = []
     buf_bases = 0
@@ -272,7 +311,18 @@ def append_to_cohort(
     manifest = json.loads((out / COHORT_MANIFEST).read_text())
     if manifest.get("kind") != "cohort":
         raise ValueError(f"{out} is not a cohort artifact")
-    config = config or IndexConfig()
+    built_cfg, built_kw = shard_build_params(out, manifest)
+    if config is None:
+        # inherit the cohort's actual build-time layout so appended shards
+        # can never drift from the existing ones (ADVICE r3)
+        config = built_cfg
+        for k, v in built_kw.items():
+            build_kw.setdefault(k, v)
+    elif config != built_cfg:
+        raise ValueError(
+            f"config mismatch: cohort shards were built with "
+            f"{built_cfg.to_json()}, append got {config.to_json()}"
+        )
     if manifest["format_version"] != config.format_version:
         raise ValueError(
             f"format_version mismatch: cohort has "
@@ -384,18 +434,23 @@ def compact_cohort(
     spans = partition_spans([p.n for p in parts], target_shards)
     config = parts[0].config
     new_dirs = []
+    shard_reads = []
     for i, (lo, hi) in enumerate(spans):
+        if hi - lo == 1:
+            # singleton group: keep the existing shard dir in place — a
+            # byte-identical re-save under a new name would be a full
+            # artifact copy for no change (ADVICE r3)
+            new_dirs.append(old_dirs[lo])
+            shard_reads.append(parts[lo].num_reads)
+            continue
         name = f"compact{gen}_{i:04d}"
-        merged = (
-            parts[lo]
-            if hi - lo == 1
-            else merge_indexes_interleave(
-                parts[lo:hi], config=config, shared_samples=True
-            )
+        merged = merge_indexes_interleave(
+            parts[lo:hi], config=config, shared_samples=True
         )
         merged.num_samples = int(manifest["num_samples"])
         artifact.save_artifact(merged, out / name)
         new_dirs.append(name)
+        shard_reads.append(merged.num_reads)
     _write_cohort_manifest(
         out,
         new_dirs,
@@ -409,6 +464,29 @@ def compact_cohort(
     for d in old_dirs:
         if d not in new_dirs:
             shutil.rmtree(out / d, ignore_errors=True)
+    # rewrite the streaming-build progress log to match the new shard list
+    # (stale entries pointing at removed dirs would make a later resumed
+    # build_cohort_stream restart from read 0 and clobber the cohort —
+    # ADVICE r3)
+    log_path = out / PROGRESS_LOG
+    if log_path.exists():
+        consumed = 0
+        lines = []
+        for i, (name, nr) in enumerate(zip(new_dirs, shard_reads)):
+            consumed += nr
+            lines.append(
+                json.dumps(
+                    {
+                        "shard": name,
+                        "shard_index": i,
+                        "reads_consumed": consumed,
+                        "compacted": True,
+                    }
+                )
+            )
+        tmp = out / (PROGRESS_LOG + ".tmp")
+        tmp.write_text("\n".join(lines) + "\n")
+        tmp.rename(log_path)
     return out
 
 

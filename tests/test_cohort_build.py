@@ -324,3 +324,109 @@ def test_compact_cohort_preserves_answers(tiny_corpus, tmp_path):
         if not (rb.hits_truncated or ra.hits_truncated):
             assert sorted(map(key, rb.hits)) == sorted(map(key, ra.hits))
             assert (rb.sample_hist or {}) == (ra.sample_hist or {})
+
+
+def test_append_inherits_build_config(tiny_corpus, tmp_path):
+    """ADVICE r3 (medium): append with config=None must recover the
+    cohort's ACTUAL build-time layout (IndexConfig + sample_rate + tier
+    set) from shard 0's manifest, not silently rebuild with defaults —
+    doc-sharded serving applies shard 0's parameters to every shard."""
+    from readserver_tpu.config import IndexConfig
+    from readserver_tpu.index.cohort import append_to_cohort
+
+    cfg = IndexConfig(block_size=32, row_words=4, max_query_len=24)
+    path = build_cohort(
+        tiny_corpus.reads[:100],
+        np.asarray(tiny_corpus.sample_ids[:100]),
+        2,
+        tmp_path / "pop",
+        config=cfg,
+        sample_rate=8,
+        kstep=2,
+    )
+    append_to_cohort(path, tiny_corpus.reads[100:140])
+    parts, manifest = load_cohort(path)
+    assert manifest["config"]["block_size"] == 32
+    ref = json.loads(
+        (path / manifest["shards"][0] / "manifest.json").read_text()
+    )
+    new = json.loads(
+        (path / manifest["shards"][-1] / "manifest.json").read_text()
+    )
+    assert new["config"] == ref["config"]
+    assert new["sample_rate"] == ref["sample_rate"] == 8
+    assert ("rank2_blocks" in new["arrays"]) == (
+        "rank2_blocks" in ref["arrays"]
+    )
+    assert ("rank3_blocks" in new["arrays"]) == (
+        "rank3_blocks" in ref["arrays"]
+    )
+    # an explicitly mismatched config is rejected, not silently mixed in
+    with pytest.raises(ValueError, match="config mismatch"):
+        append_to_cohort(
+            path, tiny_corpus.reads[140:150], config=IndexConfig()
+        )
+
+
+def test_cli_append_rejects_plain_artifact(tiny_corpus, tmp_path, capsys):
+    from readserver_tpu.cli import main
+
+    out = tmp_path / "plain"
+    artifact.save_artifact(build_index(tiny_corpus.reads[:40]), out)
+    rc = main(["append", str(out), "--config", "tiny"])
+    assert rc == 2
+    assert "cohort" in capsys.readouterr().err
+
+
+def test_compact_keeps_singletons_and_rewrites_progress(
+    tiny_corpus, tmp_path
+):
+    """ADVICE r3: singleton groups keep their shard dir in place (no
+    byte-identical re-save), and progress.jsonl is rewritten to the new
+    shard list so a later resumed streaming build can't clobber the
+    compacted cohort."""
+    from readserver_tpu.index.cohort import (
+        PROGRESS_LOG,
+        build_cohort_stream,
+        compact_cohort,
+    )
+
+    reads = tiny_corpus.reads[:120]
+    path = build_cohort_stream(
+        ((r, 0) for r in reads),
+        tmp_path / "pop",
+        max_bases_per_shard=sum(len(r) for r in reads[:40]),
+        num_samples=1,
+    )
+    parts, manifest = load_cohort(path)
+    assert manifest["num_shards"] >= 3
+    old_dirs = list(manifest["shards"])
+    mtimes = {
+        d: (path / d / "manifest.json").stat().st_mtime_ns for d in old_dirs
+    }
+
+    # compacting 3+ shards into 2 groups leaves at least one singleton
+    compact_cohort(path, target_shards=2)
+    parts2, manifest2 = load_cohort(path)
+    assert manifest2["num_shards"] == 2
+    kept = [d for d in manifest2["shards"] if d in old_dirs]
+    assert kept, "singleton group must keep its shard dir in place"
+    for d in kept:  # kept dirs were not re-saved
+        assert (path / d / "manifest.json").stat().st_mtime_ns == mtimes[d]
+    # progress log matches the new shard list, cumulative reads intact
+    entries = [
+        json.loads(l)
+        for l in (path / PROGRESS_LOG).read_text().splitlines()
+    ]
+    assert [e["shard"] for e in entries] == list(manifest2["shards"])
+    assert entries[-1]["reads_consumed"] == 120
+    # a resumed stream now skips everything instead of restarting at 0
+    build_cohort_stream(
+        ((r, 0) for r in reads),
+        path,
+        max_bases_per_shard=10**9,
+        num_samples=1,
+    )
+    _, manifest3 = load_cohort(path)
+    assert manifest3["num_shards"] == 2
+    assert manifest3["num_reads"] == 120
