@@ -38,6 +38,29 @@ def bench_cache(config_name: str, scale: float) -> Path:
     return REPO / "data" / f"bench_{config_name}_s{scale:g}_v5"
 
 
+PARITY_CACHE = "parity_cache.npz"
+PARITY_N = 512
+
+
+def build_parity_cache(cache_dir: Path, corpus, k: int, nq: int = PARITY_N):
+    """Precompute oracle counts for a fixed query sample, saved next to the
+    artifact.  The in-situ oracle (sorted multiset of ALL read windows) costs
+    ~200s at ecoli scale and ~45min at chr20 scale per bench run; paying it
+    ONCE at build time keeps the driver's bare ``python bench.py`` within
+    its window at every ladder rung (VERDICT r3 #1)."""
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.oracle.naive import window_multiset_counts
+
+    qs = simulate.sample_query_kmers_fast(
+        corpus, nq, k, seed=12345, miss_frac=0.15
+    )
+    counts = window_multiset_counts(np.stack(corpus.reads), qs)
+    tmp = cache_dir / (PARITY_CACHE + ".tmp.npz")
+    np.savez(tmp, queries=qs, counts=counts)
+    tmp.rename(cache_dir / PARITY_CACHE)
+    return counts
+
+
 def get_packed(config_name: str, scale: float):
     from readserver_tpu.corpus import simulate
     from readserver_tpu.index import artifact, build_index
@@ -61,6 +84,12 @@ def get_packed(config_name: str, scale: float):
         f"# built index n={packed.n} in {time.time()-t0:.0f}s", file=sys.stderr
     )
     artifact.save_artifact(packed, cache)
+    t0 = time.time()
+    build_parity_cache(cache, corpus, corpus.spec.kmer_len)
+    print(
+        f"# parity cache ({PARITY_N} oracle counts) in {time.time()-t0:.0f}s",
+        file=sys.stderr,
+    )
     return packed, corpus.spec
 
 
@@ -160,6 +189,17 @@ def main() -> int:
     kmers = simulate.sample_query_kmers_fast(
         corpus, B * (R + args.warmup), k, seed=1, miss_frac=0.1
     ).astype(np.int32)
+    # parity cache (written at build time): splice the cached oracle
+    # queries into batch 0's head so the count check needs no in-situ
+    # window-multiset sort (minutes at ecoli scale, ~45min at chr20)
+    parity_counts = None
+    pcf = bench_cache(args.config, args.scale) / PARITY_CACHE
+    if not args.no_parity and pcf.exists():
+        z = np.load(pcf)
+        nq = min(args.parity_queries, len(z["queries"]), B)
+        if nq:
+            kmers[:nq] = z["queries"][:nq].astype(np.int32)
+            parity_counts = z["counts"][:nq].astype(np.int64)
     lengths = np.full(B, k, dtype=np.int32)
     batches = [
         jax.device_put(kmers[i * B : (i + 1) * B])
@@ -212,14 +252,26 @@ def main() -> int:
             print(json.dumps({"error": "fast/plain path mismatch"}))
             return 1
         # oracle diff (SURVEY.md §4 idiom, widened): exact counts for a
-        # random query sample via the 2-bit window multiset — one linear
-        # pass + sort over ALL read windows, then binary search per query.
-        # Affordable even at chr20 scale (~1.3G windows, a few minutes).
-        nq = min(args.parity_queries, B)
-        if nq and k <= 31:
+        # query sample.  Preferred source: the build-time parity cache
+        # (counts precomputed once, spliced into batch 0's head above);
+        # fallback: in-situ 2-bit window multiset — one linear pass + sort
+        # over ALL read windows, then binary search per query.
+        mat = np.stack(corpus.reads)
+        if parity_counts is not None:
+            nq = len(parity_counts)
+            got = (u1 - l1)[:nq].astype(np.int64)
+            if not np.array_equal(got, parity_counts):
+                bad = int(np.flatnonzero(got != parity_counts)[0])
+                print(json.dumps({
+                    "error": f"count parity fail (cached) q{bad}: "
+                             f"{int(got[bad])} != {int(parity_counts[bad])}"
+                }))
+                return 1
+            parity_queries = int(nq)
+        elif min(args.parity_queries, B) and k <= 31:
+            nq = min(args.parity_queries, B)
             from readserver_tpu.oracle.naive import window_multiset_counts
 
-            mat = np.stack(corpus.reads)
             rng = np.random.default_rng(7)
             sel = np.sort(rng.choice(B, size=nq, replace=False))
             want = window_multiset_counts(mat, kmers[sel].astype(np.uint8))
@@ -235,7 +287,10 @@ def main() -> int:
         else:
             mat, parity_queries = None, 0
         parity_checked = True
-        mark(f"parity self-check passed ({parity_queries} oracle queries)")
+        mark(
+            f"parity self-check passed ({parity_queries} oracle queries"
+            f"{', cached' if parity_counts is not None else ''})"
+        )
 
     profile_cm = (
         jax.profiler.trace(args.profile) if args.profile else None
@@ -345,6 +400,9 @@ def main() -> int:
         "kstep": (3 if index.rank3_rows is not None else 2) if use_pair else 1,
         "parity_checked": parity_checked,
         "parity_queries": parity_queries,
+        "parity_source": (
+            "cached" if parity_counts is not None else "multiset"
+        ) if parity_checked else None,
         "tiers_kept": sorted(plan.keep),
         "tiers_dropped": list(plan.dropped),
         "device": dev_kind,
