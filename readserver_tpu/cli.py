@@ -131,6 +131,42 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_upgrade(args) -> int:
+    """Synthesize missing tiers into an existing artifact, in place —
+    the anti-orphaning path (index/upgrade.py): a tier-set evolution
+    costs one LF walk over the stored BWT, never an SA-IS rebuild."""
+    import json as _json
+    from pathlib import Path
+
+    from readserver_tpu.index.cohort import COHORT_MANIFEST, is_cohort
+    from readserver_tpu.index.upgrade import upgrade_artifact
+
+    t0 = time.time()
+    kstep = args.kstep or None
+    rate = args.sample_rate or None
+    targets = [Path(args.index)]
+    if is_cohort(args.index):
+        manifest = _json.loads(
+            (Path(args.index) / COHORT_MANIFEST).read_text()
+        )
+        targets = [Path(args.index) / s for s in manifest["shards"]]
+    total = []
+    for tgt in targets:
+        added = upgrade_artifact(tgt, kstep=kstep, sample_rate=rate)
+        total += added
+        print(
+            f"# {tgt}: " + (f"added {', '.join(added)}" if added
+                            else "already current"),
+            file=sys.stderr,
+        )
+    print(
+        f"# upgrade done ({len(total)} arrays added) in "
+        f"{time.time()-t0:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Merge a cohort's doc shards down (interleave merge, read order and
     global sample space preserved) — undoes append fan-out."""
@@ -373,6 +409,19 @@ def main(argv=None) -> int:
     cp.add_argument("cohort", help="cohort artifact directory")
     cp.add_argument("--target-shards", type=int, default=1)
     cp.set_defaults(fn=cmd_compact)
+
+    up = sub.add_parser(
+        "upgrade",
+        help="synthesize missing tiers into an existing artifact in "
+             "place (no rebuild; cohorts upgrade shard by shard)",
+    )
+    up.add_argument("index", help="artifact or cohort directory")
+    up.add_argument("--kstep", type=int, default=0,
+                    help="deepest k-step tier to ensure (0 = auto by n)")
+    up.add_argument("--sample-rate", type=int, default=0,
+                    help="mark density for synthesized resolve tiers "
+                         "(0 = the artifact's recorded rate)")
+    up.set_defaults(fn=cmd_upgrade)
 
     q = sub.add_parser("query", help="query an index artifact")
     q.add_argument("--index", required=True)

@@ -88,6 +88,12 @@ class ServeConfig:
     # off by it report sample_hist_complete=False.
     exact_attribution: bool = True
     max_sweep_rows: int | None = 1 << 20
+    # exact-attribution sweep chunk (worklist lanes per while_loop round).
+    # None = auto: min(batch·max_hits, 8·batch) — the worklist holds
+    # Σ interval counts rows, so a B·H window wastes most lanes on typical
+    # (low-multiplicity) workloads; 8 rows/query/round covers them in one
+    # round and repetitive batches just run more cheap rounds
+    sweep_window: int | None = None
     # whole-batch early termination (lax.while_loop): skips remaining scan
     # steps once every interval is empty — wins on miss-heavy workloads
     # (e.g. contamination screens), costs one any-reduce per step otherwise

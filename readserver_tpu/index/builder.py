@@ -180,6 +180,59 @@ def suffix_array(text: np.ndarray, alphabet_size: int) -> np.ndarray:
         return suffix_array_ints(text).astype(np.int32)
 
 
+def resolve_tiers_from_rows(
+    read_of: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    lf0: np.ndarray,
+    bwt: np.ndarray,
+    config: IndexConfig,
+    sample_rate: int,
+) -> dict:
+    """Resolve-tier arrays from per-SA-row ``(read, offset)`` attribution.
+
+    Shared by the suffix-sort builder (rows come from the SA), the
+    BWT-import/merge packer and the artifact upgrader (rows come from the
+    lockstep LF walk, ``from_bwt.rows_from_lf``) — one predicate, one
+    layout, so every producer yields bit-identical tiers.
+
+    Returns ``lf`` (mark sign bits set), ``mark_rank``, ``sample_pairs``,
+    ``dsa``/``dsa_bits`` and ``fused_rows``.
+    """
+    m = len(lengths)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    # mark rows whose suffix offset is a positive multiple of sample_rate
+    # (offset-0 rows are $-terminal already); the walk then ends within
+    # < sample_rate steps.  Sentinel-position rows (offset == read length)
+    # are unreachable by LF walks and stay unmarked.
+    marked = (
+        (offsets % sample_rate == 0)
+        & (offsets > 0)
+        & (offsets < lengths[read_of])
+    )
+    mark_rank = packing.pack_bit_rank(marked, config)
+    sample_pairs = np.stack(
+        [read_of[marked].astype(np.int32), offsets[marked].astype(np.int32)],
+        axis=1,
+    )
+    if sample_pairs.shape[0] == 0:  # all reads shorter than sample_rate
+        sample_pairs = np.zeros((1, 2), dtype=np.int32)
+    lf = np.where(marked, lf0 | np.int32(-(1 << 31)), lf0).astype(np.int32)
+    dsa, dsa_bits = packing.pack_dsa(
+        read_of, offsets, m, int(lengths.max()) if m else 0
+    )
+    fused_rows = packing.pack_fused_rows(bwt, marked, config)
+    return dict(
+        lf=lf,
+        mark_rank=mark_rank,
+        sample_pairs=sample_pairs,
+        dsa=dsa,
+        dsa_bits=dsa_bits,
+        fused_rows=fused_rows,
+    )
+
+
 def build_index(
     reads: Sequence[np.ndarray | str | bytes],
     sample_ids: np.ndarray | Sequence[int] | None = None,
@@ -250,35 +303,19 @@ def build_index(
         C3 = packing.kgram_starts(rank_blocks, C, config, 3)
         del triple
     if fast_resolve:
-        # per-read text-position sampling: mark rows whose suffix offset is
-        # a positive multiple of sample_rate (offset-0 rows are $-terminal
-        # already); the walk then ends within < sample_rate steps
+        # per-SA-row (read, offset) attribution straight from the SA
         read_of = np.searchsorted(starts, sa, side="right") - 1
         offsets = sa.astype(np.int64) - starts[read_of]
-        # exclude offset-0 rows ($-terminal already) and sentinel-position
-        # rows (offset == read length; unreachable by LF walks)
-        marked = (
-            (offsets % sample_rate == 0)
-            & (offsets > 0)
-            & (offsets < lengths[read_of])
+        tiers = resolve_tiers_from_rows(
+            read_of, offsets, lengths, lf, bwt, config, sample_rate
         )
-        mark_rank = packing.pack_bit_rank(marked, config)
-        sample_pairs = np.stack(
-            [read_of[marked].astype(np.int32), offsets[marked].astype(np.int32)],
-            axis=1,
-        )
-        if sample_pairs.shape[0] == 0:  # all reads shorter than sample_rate
-            sample_pairs = np.zeros((1, 2), dtype=np.int32)
-        lf = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
+        lf = tiers["lf"]
+        mark_rank = tiers["mark_rank"]
+        sample_pairs = tiers["sample_pairs"]
+        dsa, dsa_bits = tiers["dsa"], tiers["dsa_bits"]
+        fused_rows = tiers["fused_rows"]
         srate = sample_rate
-        # direct-resolve tier: 4 B/sym when (num_reads << offset_bits) fits
-        # uint32 — the budget planner decides whether it ships to HBM
-        dsa, dsa_bits = packing.pack_dsa(
-            read_of, offsets, m, int(lengths.max())
-        )
-        # fused resolve rows: the 1 B/sym walk tier for when dsa doesn't fit
-        fused_rows = packing.pack_fused_rows(bwt, marked, config)
-        del read_of, offsets, marked
+        del read_of, offsets, tiers
     else:
         lf = None  # computed only for the pair tier; don't ship it
     del sa, text

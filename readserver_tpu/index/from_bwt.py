@@ -92,56 +92,37 @@ def invert_bwt(
     return reads, dollar_map, read_lengths
 
 
-def _fast_resolve_from_lf(
-    lf: np.ndarray,
-    read_lengths: np.ndarray,
-    config: IndexConfig,
-    sample_rate: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """→ (lf with mark sign bits, mark_rank, sample_pairs).
+def rows_from_lf(
+    lf: np.ndarray, read_lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-SA-row ``(read_of, offsets)`` attribution WITHOUT a suffix
+    array: the m-lane lockstep LF walk visits every row exactly once
+    (rows partition into per-read suffix chains), so read ``r``'s walk
+    labels its row at step ``t`` with offset ``L_r − t``.  O(n) total
+    gathers — the host-side inverse of the device resolve walk.
 
-    Recomputes the sampled-row marks of ``index/builder.py`` without a
-    suffix array: walking LF from sentinel row ``r`` puts read ``r`` at
-    offset ``L_r − t`` after ``t`` steps, so the SA-derived predicate
-    ``offset % rate == 0 ∧ 0 < offset < L`` falls straight out of the walk.
+    Sentinel rows ``r < m`` get ``offset == L_r`` (the sentinel-position
+    suffix), matching the SA-derived convention in ``index/builder.py``.
     """
     m = len(read_lengths)
+    n = len(lf)
     L = read_lengths.astype(np.int64)
+    read_of = np.empty(n, dtype=np.int32)
+    offsets = np.empty(n, dtype=np.int64)
+    ids = np.arange(m, dtype=np.int32)
     pos = np.arange(m, dtype=np.int64)
-    rows_l: list[np.ndarray] = []
-    reads_l: list[np.ndarray] = []
-    offs_l: list[np.ndarray] = []
+    read_of[pos] = ids
+    offsets[pos] = L
     max_len = int(L.max()) if m else 0
-    for t in range(1, max_len):
-        active = t <= L - 1
+    for t in range(1, max_len + 1):
+        active = t <= L
         if not active.any():
             break
-        pos = np.where(active, lf[pos], pos)
-        offset = L - t
-        sel = active & (offset % sample_rate == 0)
-        if sel.any():
-            rows_l.append(pos[sel])
-            reads_l.append(np.flatnonzero(sel))
-            offs_l.append(offset[sel])
-    if rows_l:
-        rows = np.concatenate(rows_l)
-        order = np.argsort(rows, kind="stable")
-        rows = rows[order]
-        pairs = np.stack(
-            [
-                np.concatenate(reads_l)[order].astype(np.int32),
-                np.concatenate(offs_l)[order].astype(np.int32),
-            ],
-            axis=1,
-        )
-    else:
-        rows = np.zeros(0, dtype=np.int64)
-        pairs = np.zeros((1, 2), dtype=np.int32)
-    marked = np.zeros(len(lf), dtype=bool)
-    marked[rows] = True
-    mark_rank = packing.pack_bit_rank(marked, config)
-    lf_marked = np.where(marked, lf | np.int32(-(1 << 31)), lf).astype(np.int32)
-    return lf_marked, mark_rank, pairs
+        pos = np.where(active, lf[pos].astype(np.int64), pos)
+        rows = pos[active]
+        read_of[rows] = ids[active]
+        offsets[rows] = (L - t)[active]
+    return read_of, offsets
 
 
 def pack_from_bwt(
@@ -180,6 +161,8 @@ def pack_from_bwt(
         kstep = 1
     lf = mark_rank = sample_pairs = None
     rank2_blocks = C2 = rank3_blocks = C3 = None
+    dsa = fused_rows = None
+    dsa_bits = 0
     srate = 0
     lf0 = plain_lf(bwt, C) if (fast_resolve or kstep >= 2) else None
     if kstep >= 2:
@@ -193,10 +176,28 @@ def pack_from_bwt(
         C3 = packing.kgram_starts(rank_blocks, C, config, 3)
         del triple
     if fast_resolve:
-        lf, mark_rank, sample_pairs = _fast_resolve_from_lf(
-            lf0, np.asarray(read_lengths), config, sample_rate
+        # full per-row attribution from the LF walk → the SAME tier set
+        # the suffix-sort builder produces (incl. dsa + fused), so merged
+        # and imported indexes serve through the same resolve ladder
+        from readserver_tpu.index.builder import resolve_tiers_from_rows
+
+        read_of, offsets = rows_from_lf(lf0, np.asarray(read_lengths))
+        tiers = resolve_tiers_from_rows(
+            read_of,
+            offsets,
+            np.asarray(read_lengths),
+            lf0,
+            bwt,
+            config,
+            sample_rate,
         )
+        lf = tiers["lf"]
+        mark_rank = tiers["mark_rank"]
+        sample_pairs = tiers["sample_pairs"]
+        dsa, dsa_bits = tiers["dsa"], tiers["dsa_bits"]
+        fused_rows = tiers["fused_rows"]
         srate = sample_rate
+        del read_of, offsets, tiers
 
     return PackedIndex(
         config=config,
@@ -219,6 +220,9 @@ def pack_from_bwt(
         mark_rank=mark_rank,
         sample_pairs=sample_pairs,
         sample_rate=srate,
+        dsa=dsa,
+        dsa_bits=dsa_bits,
+        fused_rows=fused_rows,
         rank2_blocks=rank2_blocks,
         C2=C2,
         rank3_blocks=rank3_blocks,

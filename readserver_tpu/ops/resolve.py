@@ -446,6 +446,10 @@ def exact_sample_histogram(
 
     Returns ``(hist int32 [B, num_samples], complete bool [B])`` —
     ``complete[b]`` is False only when the ``max_rows`` cap cut query b off.
+    The cap binds in whole ``window`` rounds (the loop exits before the
+    first round whose START is past the cap), so the effective row limit
+    rounds up to a window multiple — callers that need a tight cap should
+    pass a window at or below it.
     """
     B = l.shape[0]
     S = max(index.num_samples, 1)

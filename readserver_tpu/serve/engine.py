@@ -303,7 +303,15 @@ class QueryEngine:
 
             frac = self.cfg.resolve_budget_frac
             budget = int(frac * self.B * self.H) if frac else None
+            self._ns = max(packed.num_samples, 1)
 
+            # the full query step returns ONE packed int32 buffer
+            # [B, 4 + NS + 3H]: cols [l, u, count, hist_complete,
+            # hist(NS), read_id(H), offset(H), sample(H)] with invalid hit
+            # lanes forced to -1.  One buffer = one device->host transfer;
+            # on the tunneled chip each transfer costs ~45 ms of fixed
+            # latency, and the previous 7-array dict paid it 7 times
+            # (measured: 1.26 s of a 1.78 s cohort batch was transfers)
             def _full(idx, lut, codes, lengths, use_lut, use_pair):
                 l, u = _search(idx, lut, codes, lengths, use_lut, use_pair)
                 rid, off, valid = resolve_intervals(
@@ -312,9 +320,11 @@ class QueryEngine:
                 if self.cfg.exact_attribution:
                     from readserver_tpu.ops import exact_sample_histogram
 
+                    W = codes.shape[0]
                     hist, complete = exact_sample_histogram(
                         idx, l, u,
-                        window=codes.shape[0] * self.H,
+                        window=self.cfg.sweep_window
+                        or min(W * self.H, 8 * W),
                         max_rows=self.cfg.max_sweep_rows,
                     )
                 else:
@@ -324,14 +334,35 @@ class QueryEngine:
                     # dropped by resolve_intervals' row budget
                     resolved = valid.sum(axis=1).astype(jnp.int64)
                     complete = ((u - l) <= self.H) & (resolved == (u - l))
-                return dict(
-                    l=l, u=u, count=u - l, read_id=rid, offset=off,
-                    valid=valid, sample_hist=hist, hist_complete=complete,
+                # per-hit sample ids gathered on device (saves the host
+                # read_to_sample gather during assembly)
+                smp = jnp.take(
+                    idx.read_to_sample,
+                    jnp.clip(rid, 0, max(packed.num_reads - 1, 0)),
+                    axis=0,
+                )
+                neg = jnp.int32(-1)
+                return jnp.concatenate(
+                    [
+                        l[:, None].astype(jnp.int32),
+                        u[:, None].astype(jnp.int32),
+                        (u - l)[:, None].astype(jnp.int32),
+                        complete[:, None].astype(jnp.int32),
+                        hist.astype(jnp.int32),
+                        jnp.where(valid, rid, neg).astype(jnp.int32),
+                        jnp.where(valid, off, neg).astype(jnp.int32),
+                        jnp.where(valid, smp, neg).astype(jnp.int32),
+                    ],
+                    axis=1,
                 )
 
             def _count(idx, lut, codes, lengths, use_lut, use_pair):
                 l, u = _search(idx, lut, codes, lengths, use_lut, use_pair)
-                return dict(l=l, u=u, count=u - l)
+                return jnp.stack(
+                    [l.astype(jnp.int32), u.astype(jnp.int32),
+                     (u - l).astype(jnp.int32)],
+                    axis=1,
+                )
 
             self._full_jit = jax.jit(
                 _full, static_argnames=("use_lut", "use_pair")
@@ -433,18 +464,49 @@ class QueryEngine:
                 fn = self._query_fn if uniform else self._query_fn_1
                 out = fn(self.sidx, None, codes, lengths)
         else:
-            use_lut = bool(
-                self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
-            ) if nq else False
-            # k-step path requires a uniform batch spanning every column
-            # (guaranteed by _pad_encode's slicing for uniform lengths);
-            # results are bit-identical to the 1-step path
-            use_pair = bool(
-                self.has_pair and nq and int(lengths.min()) == codes.shape[1]
-            )
-            fn = self._count_jit if counts_only else self._full_jit
-            out = fn(self.index, self.lut, codes, lengths, use_lut, use_pair)
+            out = self._dispatch_single(codes, lengths, nq, counts_only)
+            arr = np.asarray(out)[:nq]  # the ONE device->host transfer
+            return self._unpack_single(arr, counts_only)
         return {k: np.asarray(v)[:nq] for k, v in out.items()}
+
+    def _dispatch_single(self, codes, lengths, nq: int, counts_only: bool):
+        """Dispatch the single-device query program; returns the packed
+        device buffer WITHOUT blocking or transferring (MultiEngine issues
+        one of these per partition before the device-side merge)."""
+        if self._doc or self._sharded:
+            raise RuntimeError("raw dispatch is single-device only")
+        use_lut = bool(
+            self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
+        ) if nq else False
+        # k-step path requires a uniform batch spanning every column
+        # (guaranteed by _pad_encode's slicing for uniform lengths);
+        # results are bit-identical to the 1-step path
+        use_pair = bool(
+            self.has_pair and nq and int(lengths.min()) == codes.shape[1]
+        )
+        fn = self._count_jit if counts_only else self._full_jit
+        return fn(self.index, self.lut, codes, lengths, use_lut, use_pair)
+
+    def _unpack_single(
+        self, arr: np.ndarray, counts_only: bool
+    ) -> dict[str, np.ndarray]:
+        """Packed [nq, 4+NS+3H] (or [nq, 3]) buffer → the result dict."""
+        if counts_only:
+            return dict(l=arr[:, 0], u=arr[:, 1], count=arr[:, 2])
+        ns, H = self._ns, self.H
+        o = 4 + ns
+        rid = arr[:, o : o + H]
+        return dict(
+            l=arr[:, 0],
+            u=arr[:, 1],
+            count=arr[:, 2],
+            hist_complete=arr[:, 3].astype(bool),
+            sample_hist=arr[:, 4:o],
+            read_id=rid,
+            offset=arr[:, o + H : o + 2 * H],
+            sample=arr[:, o + 2 * H : o + 3 * H],
+            valid=rid >= 0,
+        )
 
     def _mh_execute(
         self, codes: np.ndarray, lengths: np.ndarray, nq: int
@@ -604,7 +666,10 @@ class QueryEngine:
         off_m = np.asarray(out["offset"])
         val_m = np.asarray(out["valid"]).astype(bool)
         rid_safe = np.clip(rid_m, 0, None)
-        if self._doc:
+        if "sample" in out:
+            # per-hit sample ids were gathered on device (packed buffer)
+            sample_m = out["sample"]
+        elif self._doc:
             base = np.asarray(self._read_base, dtype=np.int64)
             part = np.searchsorted(base, rid_safe, side="right") - 1
             sample_m = np.zeros(rid_m.shape, dtype=np.int64)
@@ -712,10 +777,113 @@ class MultiEngine:
             for i, nm in enumerate(p.sample_names):
                 if i < ns:
                     self.sample_names[i] = nm
+        self._ns = ns
+        self._merge_jit = jax.jit(self._merge_full)
+        self._merge_count_jit = jax.jit(
+            lambda outs: sum(o[:, 2] for o in outs)
+        )
+
+    # compaction budget per padded batch width: sparse hit/histogram
+    # entries kept on the fast path (16 per query covers typical
+    # low-multiplicity workloads; denser batches fall back to the dense
+    # buffers, which stay on device until actually needed)
+    COMPACT_PER_QUERY = 16
+
+    @staticmethod
+    def _compact(mask, cols, R):
+        """Order-preserving compaction of ``cols`` where ``mask`` → fixed
+        [R] buffers + the kept count (-1 signals overflow → caller uses
+        the dense fallback)."""
+        m32 = mask.astype(jnp.int32)
+        pos = jnp.cumsum(m32) - m32
+        keep = mask & (pos < R)
+        slot = jnp.where(keep, pos, R)
+        outs = [
+            jnp.full(R, -1, jnp.int32).at[slot].set(
+                c.astype(jnp.int32), mode="drop"
+            )
+            for c in cols
+        ]
+        total = m32.sum()
+        return jnp.where(total > R, -1, total), outs
+
+    def _merge_full(self, outs, nq):
+        """Device-side merge of per-partition packed buffers.
+
+        The time-multiplexed front previously assembled per-partition
+        QueryResults on host and merged them in Python — 28 device→host
+        transfers per cohort batch, and the tunneled chip moves host
+        traffic at only ~15 MB/s, so transfers were 1.26 s of a 1.78 s
+        batch.  Here counts/hists/hit-sets merge in one fused program and
+        the result is compacted SPARSELY (hits and histogram entries are
+        ≪ B·S·H lanes on typical workloads) into one small int32 buffer:
+
+          [count(W), complete(W),
+           n_hist, hist_idx(Rh), hist_val(Rh),
+           n_hits, hit_idx(R), read_id(R), offset(R), sample(R)]
+
+        with GLOBAL read ids and per-hit samples already resolved.  The
+        dense merged histogram / hit tensors are ALSO returned as device
+        arrays — when a dense batch overflows the compaction budget
+        (n == -1) the host transfers just the dense piece it needs, so
+        answers are exact at any density.  Padding queries (>= nq) are
+        masked out of the budget."""
+        W = outs[0].shape[0]
+        R = self.COMPACT_PER_QUERY * W
+        count = 0
+        complete = 1
+        hist = jnp.zeros((W, self._ns), dtype=jnp.int32)
+        rids, offs, smps = [], [], []
+        H = self.H
+        for e, o, base in zip(self.engines, outs, self._read_base):
+            ns_s = e._ns
+            count = count + o[:, 2]
+            complete = complete * o[:, 3]
+            hist = hist.at[:, :ns_s].add(o[:, 4 : 4 + ns_s])
+            rid = o[:, 4 + ns_s : 4 + ns_s + H]
+            rids.append(jnp.where(rid >= 0, rid + base, -1))
+            offs.append(o[:, 4 + ns_s + H : 4 + ns_s + 2 * H])
+            smps.append(o[:, 4 + ns_s + 2 * H : 4 + ns_s + 3 * H])
+        rid_m = jnp.concatenate(rids, axis=1)   # [W, S*H], global ids
+        off_m = jnp.concatenate(offs, axis=1)
+        smp_m = jnp.concatenate(smps, axis=1)
+        SH = rid_m.shape[1]
+        lane_q = jnp.arange(W * SH, dtype=jnp.int32) // SH
+        n_hits, (hit_idx, hit_rid, hit_off, hit_smp) = self._compact(
+            (rid_m.reshape(-1) >= 0) & (lane_q < nq),
+            [
+                jnp.arange(W * SH, dtype=jnp.int32),
+                rid_m.reshape(-1),
+                off_m.reshape(-1),
+                smp_m.reshape(-1),
+            ],
+            R,
+        )
+        cell_q = jnp.arange(W * self._ns, dtype=jnp.int32) // self._ns
+        n_hist, (hist_idx, hist_val) = self._compact(
+            (hist.reshape(-1) > 0) & (cell_q < nq),
+            [jnp.arange(W * self._ns, dtype=jnp.int32), hist.reshape(-1)],
+            R,
+        )
+        one = lambda x: x[None].astype(jnp.int32)
+        packed = jnp.concatenate(
+            [
+                count.astype(jnp.int32),
+                complete.astype(jnp.int32),
+                one(n_hist), hist_idx, hist_val,
+                one(n_hits), hit_idx, hit_rid, hit_off, hit_smp,
+            ]
+        )
+        dense_hits = jnp.concatenate([rid_m, off_m, smp_m], axis=1)
+        return packed, hist, dense_hits
 
     def warmup(self) -> None:
         for e in self.engines:
             e.warmup()
+        # compile the merged front-end paths (full + count, both widths)
+        for kmers in (["A"], ["A" * self.K]):
+            self.query_batch(kmers)
+            self.count_batch(kmers)
 
     def _locate(self, rid: int) -> tuple[int, int]:
         s = bisect.bisect_right(self._read_base, rid) - 1
@@ -730,49 +898,139 @@ class MultiEngine:
         doc-sharded engine uses (its merged ``_run`` dict carries no
         'l'/'u' either); only the un-partitioned engine reports BWT
         coordinates."""
-        per = [e.count_batch(kmers, both_strands=both_strands)
-               for e in self.engines]
+        if both_strands:
+            exp, back = self._expand_rc(kmers)
+            res = self.count_batch(exp)
+            return [
+                fold_strand_results(
+                    km, res[i], res[back[i]] if i in back else None
+                )
+                for i, km in enumerate(kmers)
+            ]
+        e0 = self.engines[0]
+        codes, lengths, nq = e0._pad_encode(kmers)
+        outs = tuple(
+            e._dispatch_single(codes, lengths, nq, True)
+            for e in self.engines
+        )
+        counts = np.asarray(self._merge_count_jit(outs))[:nq]
         return [
-            QueryResult(
-                kmer=km, count=sum(res[i].count for res in per)
-            )
+            QueryResult(kmer=km, count=int(counts[i]))
             for i, km in enumerate(kmers)
         ]
+
+    _expand_rc = QueryEngine._expand_rc
 
     def query_batch(
         self, kmers: list[str], both_strands: bool = False
     ) -> list[QueryResult]:
-        per = [e.query_batch(kmers, both_strands=both_strands)
-               for e in self.engines]
-        out = []
-        for i, km in enumerate(kmers):
-            hits: list[dict] = []
-            hist: dict[str, int] = {}
-            truncated = False
-            complete = True
-            count = 0
-            for s, res in enumerate(per):
-                r = res[i]
-                count += r.count
-                truncated |= r.hits_truncated
-                complete &= r.sample_hist_complete
-                for h in r.hits:
-                    hits.append(
-                        {**h, "read_id": h["read_id"] + self._read_base[s]}
-                    )
-                for k, v in (r.sample_hist or {}).items():
-                    hist[k] = hist.get(k, 0) + v
-            out.append(
-                QueryResult(
-                    kmer=km,
-                    count=count,
-                    hits=hits,
-                    sample_hist=hist,
-                    hits_truncated=truncated,
-                    sample_hist_complete=complete,
+        if both_strands:
+            exp, back = self._expand_rc(kmers)
+            res = self.query_batch(exp)
+            return [
+                fold_strand_results(
+                    km, res[i], res[back[i]] if i in back else None
                 )
+                for i, km in enumerate(kmers)
+            ]
+        pend = self._dispatch_merged(kmers)
+        return self._assemble_merged(*pend)
+
+    def query_batches(self, batches: list[list[str]]) -> list[list[QueryResult]]:
+        """Bulk path: pipeline device compute of batch i+1 behind the
+        transfer + host assembly of batch i (the dispatcher gets this
+        overlap for free from asyncio; synchronous bulk callers — the
+        cohort bench, offline scans — get it here)."""
+        results: list[list[QueryResult]] = []
+        pend = None
+        for kmers in batches:
+            cur = self._dispatch_merged(kmers)
+            if pend is not None:
+                results.append(self._assemble_merged(*pend))
+            pend = cur
+        if pend is not None:
+            results.append(self._assemble_merged(*pend))
+        return results
+
+    def _dispatch_merged(self, kmers: list[str]):
+        """Async-dispatch all partitions + the device merge; no transfer."""
+        codes, lengths, nq = self.engines[0]._pad_encode(kmers)
+        outs = tuple(
+            e._dispatch_single(codes, lengths, nq, False)
+            for e in self.engines
+        )
+        return kmers, nq, self._merge_jit(outs, np.int32(nq))
+
+    def _assemble_merged(self, kmers, nq, merged) -> list[QueryResult]:
+        packed_dev, dense_hist_dev, dense_hits_dev = merged
+        arr = np.asarray(packed_dev)  # the one (small) transfer
+        NS, SH = self._ns, len(self.engines) * self.H
+        W = (len(arr) - 2) // (2 + self.COMPACT_PER_QUERY * 6)
+        R = self.COMPACT_PER_QUERY * W
+        count_m = arr[:W]
+        complete_m = arr[W : 2 * W].astype(bool)
+        p = 2 * W
+        n_hist = int(arr[p])
+        hist_idx = arr[p + 1 : p + 1 + R]
+        hist_val = arr[p + 1 + R : p + 1 + 2 * R]
+        p += 1 + 2 * R
+        n_hits = int(arr[p])
+        hit_idx = arr[p + 1 : p + 1 + R]
+        hit_rid = arr[p + 1 + R : p + 1 + 2 * R]
+        hit_off = arr[p + 1 + 2 * R : p + 1 + 3 * R]
+        hit_smp = arr[p + 1 + 3 * R : p + 1 + 4 * R]
+
+        hits_q: list[list[dict]] = [[] for _ in range(nq)]
+        if n_hits >= 0:
+            for j in range(n_hits):
+                q = int(hit_idx[j]) // SH
+                hits_q[q].append(
+                    dict(
+                        read_id=int(hit_rid[j]),
+                        sample_id=int(hit_smp[j]),
+                        offset=int(hit_off[j]),
+                    )
+                )
+        else:  # dense fallback: transfer just the hit tensor
+            dh = np.asarray(dense_hits_dev)[:nq]
+            rid_m = dh[:, :SH]
+            off_m = dh[:, SH : 2 * SH]
+            smp_m = dh[:, 2 * SH :]
+            for i in range(nq):
+                v = rid_m[i] >= 0
+                hits_q[i] = [
+                    dict(read_id=r, sample_id=s, offset=o)
+                    for r, s, o in zip(
+                        rid_m[i][v].tolist(),
+                        smp_m[i][v].tolist(),
+                        off_m[i][v].tolist(),
+                    )
+                ]
+        hist_q: list[dict[str, int]] = [{} for _ in range(nq)]
+        if n_hist >= 0:
+            for j in range(n_hist):
+                cell = int(hist_idx[j])
+                hist_q[cell // NS][
+                    self.sample_names[cell % NS]
+                ] = int(hist_val[j])
+        else:  # dense fallback: transfer just the histogram
+            hist_m = np.asarray(dense_hist_dev)[:nq]
+            for i in range(nq):
+                nz = np.nonzero(hist_m[i])[0]
+                hist_q[i] = {
+                    self.sample_names[int(s)]: int(hist_m[i][s]) for s in nz
+                }
+        return [
+            QueryResult(
+                kmer=km,
+                count=int(count_m[i]),
+                hits=hits_q[i],
+                sample_hist=hist_q[i],
+                hits_truncated=int(count_m[i]) > len(hits_q[i]),
+                sample_hist_complete=bool(complete_m[i]),
             )
-        return out
+            for i, km in enumerate(kmers)
+        ]
 
     def read_sequence(self, read_id: int) -> str:
         s, local = self._locate(read_id)

@@ -430,3 +430,31 @@ def test_compact_keeps_singletons_and_rewrites_progress(
     _, manifest3 = load_cohort(path)
     assert manifest3["num_shards"] == 2
     assert manifest3["num_reads"] == 120
+
+
+def test_multi_engine_compact_overflow_fallback(cohort_setup, monkeypatch):
+    """The sparse transfer compaction must fall back to the dense device
+    buffers when a batch's hits/histogram entries exceed the budget —
+    answers identical either way."""
+    from readserver_tpu.serve.engine import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    cfg = ServeConfig(batch_size=16, max_hits=64)
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 12, corpus.spec.kmer_len, seed=31, miss_frac=0.2
+        )
+    ]
+    ref = MultiEngine(parts, cfg).query_batch(kmers)
+    assert any(r.hits for r in ref)
+    monkeypatch.setattr(MultiEngine, "COMPACT_PER_QUERY", 1)
+    tiny = MultiEngine(parts, cfg)
+    got = tiny.query_batch(kmers)
+    key = lambda h: (h["read_id"], h["offset"], h["sample_id"])
+    for a, b in zip(ref, got):
+        assert a.count == b.count
+        assert sorted(map(key, a.hits)) == sorted(map(key, b.hits))
+        assert (a.sample_hist or {}) == (b.sample_hist or {})
+        assert a.sample_hist_complete == b.sample_hist_complete
