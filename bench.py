@@ -130,6 +130,12 @@ def main() -> int:
                     help="skip the pre-timing parity self-check")
     ap.add_argument("--no-pair", action="store_true",
                     help="disable the 2-step (pair-rank) search tier")
+    ap.add_argument("--drop-tiers", default="",
+                    help="comma-separated tiers to force-drop from the "
+                         "plan (A/B residency experiments)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="repeat the throughput timing N times and "
+                         "report each (run-to-run spread)")
     args = ap.parse_args()
 
     import jax
@@ -171,6 +177,11 @@ def main() -> int:
         else device_budget_bytes()
     )
     plan = plan_tiers(packed, budget)
+    if args.drop_tiers:
+        import dataclasses
+
+        forced = {t.strip() for t in args.drop_tiers.split(",") if t.strip()}
+        plan = dataclasses.replace(plan, keep=plan.keep - forced)
     index = DeviceIndex.from_packed(packed, tiers=plan.keep)
     jax.block_until_ready(index.rank_rows)
     mark(
@@ -297,17 +308,21 @@ def main() -> int:
     )
     if profile_cm is not None:
         profile_cm.__enter__()
-    # throughput: dispatch all, block once
-    t0 = time.perf_counter()
-    outs = [
-        count_fn(index, batches[args.warmup + i], lengths_d) for i in range(R)
-    ]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    # throughput: dispatch all, block once; --repeats N reports the
+    # run-to-run spread (VERDICT r3 #4: pin variance vs real regressions)
+    rates = []
+    for _rep in range(max(args.repeats, 1)):
+        t0 = time.perf_counter()
+        outs = [
+            count_fn(index, batches[args.warmup + i], lengths_d)
+            for i in range(R)
+        ]
+        jax.block_until_ready(outs)
+        rates.append(B * R / (time.perf_counter() - t0))
     if profile_cm is not None:
         profile_cm.__exit__(None, None, None)
         mark(f"profiler trace written to {args.profile}")
-    searches_per_s = B * R / dt
+    searches_per_s = float(np.median(rates))
 
     # p50 latency: per-batch blocking
     lat = []
@@ -406,6 +421,11 @@ def main() -> int:
         "tiers_kept": sorted(plan.keep),
         "tiers_dropped": list(plan.dropped),
         "device": dev_kind,
+        **(
+            {"repeat_values": [round(r) for r in rates]}
+            if len(rates) > 1
+            else {}
+        ),
         **extras,
     }
     # fold in the other recorded ladder rungs (each written by its own

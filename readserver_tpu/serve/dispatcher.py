@@ -36,15 +36,22 @@ class _Block:
     future per client request; batches may take slices of a block, and
     the future resolves when every slice has returned."""
 
-    __slots__ = ("kmers", "counts_only", "fut", "results", "taken", "done")
+    __slots__ = ("kmers", "mode", "fut", "results", "taken", "done")
 
-    def __init__(self, kmers, counts_only, fut):
+    def __init__(self, kmers, mode, fut):
         self.kmers = kmers
-        self.counts_only = counts_only
+        self.mode = mode    # "count" | "hist" | "full"
         self.fut = fut
         self.results: list = [None] * len(kmers)
         self.taken = 0      # queries handed to batches so far
         self.done = 0       # queries completed so far
+
+
+# answer tiers, weakest first: a device batch runs the strongest tier any
+# of its blocks needs ("hist" ships counts + exact histograms but no hit
+# tensor — the /samples wire shape; transferred bytes are the latency on
+# the tunneled chip)
+_MODE_RANK = {"count": 0, "hist": 1, "full": 2}
 
 
 class Dispatcher:
@@ -81,6 +88,7 @@ class Dispatcher:
         kmer: str,
         counts_only: bool = False,
         both_strands: bool = False,
+        mode: str | None = None,
     ) -> QueryResult:
         """Enqueue one query; resolves when its batch returns.
 
@@ -88,16 +96,17 @@ class Dispatcher:
         k-mers as independent batch entries (they may fly in different
         batches) and fold the pair on completion.
         """
+        mode = mode or ("count" if counts_only else "full")
         if both_strands:
             rc = rc_string(kmer)
             if rc == kmer:
-                fwd = await self.submit(kmer, counts_only)
+                fwd = await self.submit(kmer, mode=mode)
                 return fold_strand_results(kmer, fwd, None)
             fwd, rev = await asyncio.gather(
-                self.submit(kmer, counts_only), self.submit(rc, counts_only)
+                self.submit(kmer, mode=mode), self.submit(rc, mode=mode)
             )
             return fold_strand_results(kmer, fwd, rev)
-        (res,) = await self.submit_many([kmer], counts_only)
+        (res,) = await self.submit_many([kmer], mode=mode)
         return res
 
     async def submit_many(
@@ -105,18 +114,22 @@ class Dispatcher:
         kmers: list[str],
         counts_only: bool = False,
         both_strands: bool = False,
+        mode: str | None = None,
     ) -> list[QueryResult]:
         """Enqueue a whole client batch at once (the POST /batch wire
         path): ONE block, ONE future — queries fly together and the
         per-query event-loop churn vanishes."""
+        mode = mode or ("count" if counts_only else "full")
+        if mode not in _MODE_RANK:
+            raise ValueError(f"unknown mode {mode!r}")
         if both_strands:
             # two blocks (forward + reverse-complement, palindromes only
             # forward), enqueued together so they share the batch window
             rcs = [rc_string(k) for k in kmers]
             rc_needed = [r for k, r in zip(kmers, rcs) if r != k]
             fwd, rev_res = await asyncio.gather(
-                self.submit_many(kmers, counts_only),
-                self.submit_many(rc_needed, counts_only),
+                self.submit_many(kmers, mode=mode),
+                self.submit_many(rc_needed, mode=mode),
             )
             it = iter(rev_res)
             return [
@@ -126,7 +139,7 @@ class Dispatcher:
         if not kmers:
             return []
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        self._queue.append(_Block(list(kmers), counts_only, fut))
+        self._queue.append(_Block(list(kmers), mode, fut))
         self._pending += len(kmers)
         self._wake.set()
         if self._pending >= self.engine.B:
@@ -136,23 +149,25 @@ class Dispatcher:
     def _take_batch(self, B: int):
         """Slice up to B queries off the front blocks.
 
-        Returns ``(kmers, counts_only, [(block, block_offset, n), ...])``.
+        Returns ``(kmers, mode, [(block, block_offset, n), ...])``.
         A large block spans several device batches; its future resolves
-        when the last slice lands."""
+        when the last slice lands.  The batch runs the strongest answer
+        tier any of its blocks needs."""
         kmers: list[str] = []
         slices: list[tuple[_Block, int, int]] = []
-        counts_only = True
+        mode = "count"
         while self._queue and len(kmers) < B:
             blk = self._queue[0]
             take = min(B - len(kmers), len(blk.kmers) - blk.taken)
             kmers.extend(blk.kmers[blk.taken : blk.taken + take])
             slices.append((blk, blk.taken, take))
-            counts_only = counts_only and blk.counts_only
+            if _MODE_RANK[blk.mode] > _MODE_RANK[mode]:
+                mode = blk.mode
             blk.taken += take
             self._pending -= take
             if blk.taken == len(blk.kmers):
                 self._queue.pop(0)
-        return kmers, counts_only, slices
+        return kmers, mode, slices
 
     async def _run(self) -> None:
         deadline_s = self.engine.cfg.batch_deadline_ms / 1e3
@@ -188,16 +203,19 @@ class Dispatcher:
             if not blk.fut.done():
                 blk.fut.cancel()
 
-    async def _fly(self, kmers, counts_only, slices) -> None:
+    async def _fly(self, kmers, mode, slices) -> None:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         try:
-            fn = (
-                self.engine.count_batch
-                if counts_only
-                else self.engine.query_batch
-            )
-            results = await loop.run_in_executor(self._executor, fn, kmers)
+            if mode == "count":
+                fn = lambda: self.engine.count_batch(kmers)
+            elif mode == "hist":
+                fn = lambda: self.engine.query_batch(
+                    kmers, include_hits=False
+                )
+            else:
+                fn = lambda: self.engine.query_batch(kmers)
+            results = await loop.run_in_executor(self._executor, fn)
         except Exception as e:  # propagate to every waiter
             self.metrics.record_error()
             for blk, _, _ in slices:
@@ -211,7 +229,7 @@ class Dispatcher:
             log.info(json.dumps({
                 "event": "batch",
                 "queries": len(kmers),
-                "counts_only": counts_only,
+                "mode": mode,
                 "latency_ms": round(dt * 1e3, 3),
             }))
         pos = 0

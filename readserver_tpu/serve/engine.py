@@ -83,6 +83,171 @@ def fold_strand_results(
     )
 
 
+# sparse transfer compaction budget: entries kept on the fast path per
+# padded-batch-width query (typical low-multiplicity workloads fit; denser
+# batches fall back to dense device buffers, transferred only when needed)
+COMPACT_PER_QUERY = 16
+
+
+def _compact_cols(mask, cols, R):
+    """Order-preserving compaction of ``cols`` where ``mask`` → fixed [R]
+    buffers + the kept count (-1 signals overflow → dense fallback)."""
+    m32 = mask.astype(jnp.int32)
+    pos = jnp.cumsum(m32) - m32
+    keep = mask & (pos < R)
+    slot = jnp.where(keep, pos, R)
+    outs = [
+        jnp.full(R, -1, jnp.int32).at[slot].set(
+            c.astype(jnp.int32), mode="drop"
+        )
+        for c in cols
+    ]
+    total = m32.sum()
+    return jnp.where(total > R, -1, total), outs
+
+
+def sparse_pack_device(
+    count, complete, hist, rid, off, smp, nq, cpq, l=None, u=None
+):
+    """Device-side sparse pack of a query batch's answers into ONE small
+    int32 buffer (the tunneled chip moves host traffic at ~15 MB/s, so
+    transferred bytes ARE the serving latency):
+
+      [count(W), complete(W), (l(W), u(W))?,
+       n_hist, hist_idx(R), hist_val(R),
+       (n_hits, hit_idx(R), read_id(R), offset(R), sample(R))?]
+
+    ``rid=None`` packs a histogram-only answer (the /samples wire shape —
+    no hit resolution shipped at all).  Returns ``(packed, hist,
+    dense_hits)`` — the dense device tensors back the rare overflow case
+    (n == -1), transferred only when actually needed."""
+    W = count.shape[0]
+    R = cpq * W
+    one = lambda x: x[None].astype(jnp.int32)
+    segs = [count.astype(jnp.int32), complete.astype(jnp.int32)]
+    if l is not None:
+        segs += [l.astype(jnp.int32), u.astype(jnp.int32)]
+    NS = hist.shape[1]
+    cell_q = jnp.arange(W * NS, dtype=jnp.int32) // NS
+    n_hist, (hist_idx, hist_val) = _compact_cols(
+        (hist.reshape(-1) > 0) & (cell_q < nq),
+        [jnp.arange(W * NS, dtype=jnp.int32), hist.reshape(-1)],
+        R,
+    )
+    segs += [one(n_hist), hist_idx, hist_val]
+    dense_hits = None
+    if rid is not None:
+        SH = rid.shape[1]
+        lane_q = jnp.arange(W * SH, dtype=jnp.int32) // SH
+        n_hits, (hit_idx, hit_rid, hit_off, hit_smp) = _compact_cols(
+            (rid.reshape(-1) >= 0) & (lane_q < nq),
+            [
+                jnp.arange(W * SH, dtype=jnp.int32),
+                rid.reshape(-1),
+                off.reshape(-1),
+                smp.reshape(-1),
+            ],
+            R,
+        )
+        segs += [one(n_hits), hit_idx, hit_rid, hit_off, hit_smp]
+        dense_hits = jnp.concatenate([rid, off, smp], axis=1)
+    return jnp.concatenate(segs), hist, dense_hits
+
+
+def assemble_sparse(
+    kmers,
+    nq,
+    W,
+    arr,
+    NS,
+    SH,
+    cpq,
+    sample_names,
+    has_lu,
+    has_hits,
+    dense_hist_dev,
+    dense_hits_dev,
+) -> list[QueryResult]:
+    """Host-side assembly of the sparse packed buffer → QueryResults."""
+    R = cpq * W
+    count_m = arr[:W]
+    complete_m = arr[W : 2 * W].astype(bool)
+    p = 2 * W
+    l_m = u_m = None
+    if has_lu:
+        l_m = arr[p : p + W]
+        u_m = arr[p + W : p + 2 * W]
+        p += 2 * W
+    n_hist = int(arr[p])
+    hist_idx = arr[p + 1 : p + 1 + R]
+    hist_val = arr[p + 1 + R : p + 1 + 2 * R]
+    p += 1 + 2 * R
+    hist_q: list[dict[str, int]] = [{} for _ in range(nq)]
+    if n_hist >= 0:
+        for j in range(n_hist):
+            cell = int(hist_idx[j])
+            hist_q[cell // NS][sample_names[cell % NS]] = int(hist_val[j])
+    else:  # dense fallback: transfer just the histogram
+        hist_m = np.asarray(dense_hist_dev)[:nq]
+        for i in range(nq):
+            nz = np.nonzero(hist_m[i])[0]
+            hist_q[i] = {
+                sample_names[int(s)]: int(hist_m[i][s]) for s in nz
+            }
+    hits_q: list[list[dict]] = [[] for _ in range(nq)]
+    if has_hits:
+        n_hits = int(arr[p])
+        hit_idx = arr[p + 1 : p + 1 + R]
+        hit_rid = arr[p + 1 + R : p + 1 + 2 * R]
+        hit_off = arr[p + 1 + 2 * R : p + 1 + 3 * R]
+        hit_smp = arr[p + 1 + 3 * R : p + 1 + 4 * R]
+        if n_hits >= 0:
+            for j in range(n_hits):
+                q = int(hit_idx[j]) // SH
+                hits_q[q].append(
+                    dict(
+                        read_id=int(hit_rid[j]),
+                        sample_id=int(hit_smp[j]),
+                        offset=int(hit_off[j]),
+                    )
+                )
+        else:  # dense fallback: transfer just the hit tensor
+            dh = np.asarray(dense_hits_dev)[:nq]
+            rid_m = dh[:, :SH]
+            off_m = dh[:, SH : 2 * SH]
+            smp_m = dh[:, 2 * SH :]
+            for i in range(nq):
+                v = rid_m[i] >= 0
+                hits_q[i] = [
+                    dict(read_id=r, sample_id=s, offset=o)
+                    for r, s, o in zip(
+                        rid_m[i][v].tolist(),
+                        smp_m[i][v].tolist(),
+                        off_m[i][v].tolist(),
+                    )
+                ]
+    out = []
+    for i, km in enumerate(kmers):
+        count = int(count_m[i])
+        out.append(
+            QueryResult(
+                kmer=km,
+                count=count,
+                interval=(
+                    (int(l_m[i]), int(u_m[i])) if has_lu else None
+                ),
+                hits=hits_q[i],
+                sample_hist=hist_q[i],
+                # without hit resolution the per-query cap is the bound
+                hits_truncated=(
+                    count > len(hits_q[i]) if has_hits else count > SH
+                ),
+                sample_hist_complete=bool(complete_m[i]),
+            )
+        )
+    return out
+
+
 class QueryEngine:
     """Batched query API over a built index.
 
@@ -93,6 +258,8 @@ class QueryEngine:
       (a list of per-partition indexes; the reference's split-by-sample
       deployment — counts sum, hit sets union, ids map by offsets)
     """
+
+    COMPACT_PER_QUERY = COMPACT_PER_QUERY
 
     def __init__(
         self,
@@ -305,18 +472,30 @@ class QueryEngine:
             budget = int(frac * self.B * self.H) if frac else None
             self._ns = max(packed.num_samples, 1)
 
-            # the full query step returns ONE packed int32 buffer
-            # [B, 4 + NS + 3H]: cols [l, u, count, hist_complete,
-            # hist(NS), read_id(H), offset(H), sample(H)] with invalid hit
-            # lanes forced to -1.  One buffer = one device->host transfer;
-            # on the tunneled chip each transfer costs ~45 ms of fixed
-            # latency, and the previous 7-array dict paid it 7 times
-            # (measured: 1.26 s of a 1.78 s cohort batch was transfers)
-            def _full(idx, lut, codes, lengths, use_lut, use_pair):
+            # query-step pieces on device: search interval, exact (or
+            # capped) histogram, and — when the endpoint needs them —
+            # resolved hits with device-gathered sample ids, invalid
+            # lanes forced to -1
+            def _pieces(idx, lut, codes, lengths, use_lut, use_pair,
+                        with_hits):
                 l, u = _search(idx, lut, codes, lengths, use_lut, use_pair)
-                rid, off, valid = resolve_intervals(
-                    idx, l, u, self.H, row_budget=budget
-                )
+                rid = off = smp = None
+                valid = None
+                if with_hits:
+                    rid, off, valid = resolve_intervals(
+                        idx, l, u, self.H, row_budget=budget
+                    )
+                    # per-hit sample ids gathered on device (saves the
+                    # host read_to_sample gather during assembly)
+                    smp = jnp.take(
+                        idx.read_to_sample,
+                        jnp.clip(rid, 0, max(packed.num_reads - 1, 0)),
+                        axis=0,
+                    )
+                    neg = jnp.int32(-1)
+                    rid = jnp.where(valid, rid, neg).astype(jnp.int32)
+                    off = jnp.where(valid, off, neg).astype(jnp.int32)
+                    smp = jnp.where(valid, smp, neg).astype(jnp.int32)
                 if self.cfg.exact_attribution:
                     from readserver_tpu.ops import exact_sample_histogram
 
@@ -327,21 +506,30 @@ class QueryEngine:
                         or min(W * self.H, 8 * W),
                         max_rows=self.cfg.max_sweep_rows,
                     )
-                else:
+                elif with_hits:
                     hist = sample_histogram(idx, rid, valid)
                     # complete only when every interval row was actually
                     # resolved: count fits the hit cap AND no lane was
                     # dropped by resolve_intervals' row budget
                     resolved = valid.sum(axis=1).astype(jnp.int64)
                     complete = ((u - l) <= self.H) & (resolved == (u - l))
-                # per-hit sample ids gathered on device (saves the host
-                # read_to_sample gather during assembly)
-                smp = jnp.take(
-                    idx.read_to_sample,
-                    jnp.clip(rid, 0, max(packed.num_reads - 1, 0)),
-                    axis=0,
+                else:
+                    # hist-only serving without exact attribution still
+                    # resolves under the hit cap for the histogram
+                    rid2, _, valid2 = resolve_intervals(
+                        idx, l, u, self.H, row_budget=budget
+                    )
+                    hist = sample_histogram(idx, rid2, valid2)
+                    resolved = valid2.sum(axis=1).astype(jnp.int64)
+                    complete = ((u - l) <= self.H) & (resolved == (u - l))
+                return l, u, hist, complete, rid, off, smp
+
+            # dense per-batch buffer [B, 4+NS+3H] — the form MultiEngine
+            # merges across partitions on device
+            def _full(idx, lut, codes, lengths, use_lut, use_pair):
+                l, u, hist, complete, rid, off, smp = _pieces(
+                    idx, lut, codes, lengths, use_lut, use_pair, True
                 )
-                neg = jnp.int32(-1)
                 return jnp.concatenate(
                     [
                         l[:, None].astype(jnp.int32),
@@ -349,11 +537,21 @@ class QueryEngine:
                         (u - l)[:, None].astype(jnp.int32),
                         complete[:, None].astype(jnp.int32),
                         hist.astype(jnp.int32),
-                        jnp.where(valid, rid, neg).astype(jnp.int32),
-                        jnp.where(valid, off, neg).astype(jnp.int32),
-                        jnp.where(valid, smp, neg).astype(jnp.int32),
+                        rid, off, smp,
                     ],
                     axis=1,
+                )
+
+            # sparse-packed serving buffer — the single-engine wire path
+            # (one small transfer; dense fallbacks ride along on device)
+            def _served(idx, lut, codes, lengths, nq, use_lut, use_pair,
+                        with_hits):
+                l, u, hist, complete, rid, off, smp = _pieces(
+                    idx, lut, codes, lengths, use_lut, use_pair, with_hits
+                )
+                return sparse_pack_device(
+                    u - l, complete, hist, rid, off, smp, nq,
+                    self.COMPACT_PER_QUERY, l=l, u=u,
                 )
 
             def _count(idx, lut, codes, lengths, use_lut, use_pair):
@@ -366,6 +564,10 @@ class QueryEngine:
 
             self._full_jit = jax.jit(
                 _full, static_argnames=("use_lut", "use_pair")
+            )
+            self._served_jit = jax.jit(
+                _served,
+                static_argnames=("use_lut", "use_pair", "with_hits"),
             )
             self._count_jit = jax.jit(
                 _count, static_argnames=("use_lut", "use_pair")
@@ -587,11 +789,15 @@ class QueryEngine:
     # ------------------------------------------------------------ public
 
     def warmup(self) -> None:
-        """Compile all path variants and pay the first-transfer handshake."""
-        self._run(["A"], counts_only=True)                # plain path
-        self._run(["A"], counts_only=False)
-        self._run(["A" * self.K], counts_only=True)       # LUT path (if any)
-        self._run(["A" * self.K], counts_only=False)
+        """Compile all serving path variants and pay the first-transfer
+        handshake."""
+        for q in (["A"], ["A" * self.K]):  # plain + LUT path (if any)
+            self.count_batch(q)
+            if self._doc or self._sharded:
+                self._run(q, counts_only=False)
+            else:
+                self.query_batch(q)
+                self.query_batch(q, include_hits=False)
 
     def _locate(self, rid: int) -> tuple[int, int]:
         """Global read id → (partition, local id)."""
@@ -646,18 +852,47 @@ class QueryEngine:
         ]
 
     def query_batch(
-        self, kmers: list[str], both_strands: bool = False
+        self,
+        kmers: list[str],
+        both_strands: bool = False,
+        include_hits: bool = True,
     ) -> list[QueryResult]:
-        """Full answers: counts + hit sets + per-sample attribution."""
+        """Full answers: counts + per-sample attribution, plus hit sets
+        unless ``include_hits=False`` (the /samples wire shape — skipping
+        hit resolution also skips shipping the hit tensor, and on the
+        tunneled chip transferred bytes are the serving latency)."""
         if both_strands:
             exp, back = self._expand_rc(kmers)
-            res = self.query_batch(exp)
+            res = self.query_batch(exp, include_hits=include_hits)
             return [
                 fold_strand_results(
                     km, res[i], res[back[i]] if i in back else None
                 )
                 for i, km in enumerate(kmers)
             ]
+        if not (self._doc or self._sharded):
+            # single-device serving: one fused program → one sparse
+            # packed transfer (dense fallbacks stay on device)
+            codes, lengths, nq = self._pad_encode(kmers)
+            use_lut = bool(
+                self.lut is not None
+                and nq
+                and int(lengths[:nq].min()) >= self.lut_p
+            )
+            use_pair = bool(
+                self.has_pair and nq
+                and int(lengths.min()) == codes.shape[1]
+            )
+            packed_dev, hist_dev, hits_dev = self._served_jit(
+                self.index, self.lut, codes, lengths, np.int32(nq),
+                use_lut, use_pair, include_hits,
+            )
+            return assemble_sparse(
+                kmers, nq, codes.shape[0], np.asarray(packed_dev),
+                self._ns, self.H, self.COMPACT_PER_QUERY,
+                self.sample_names, has_lu=True, has_hits=include_hits,
+                dense_hist_dev=hist_dev, dense_hits_dev=hits_dev,
+            )
         out = self._run(kmers, counts_only=False)
         # vectorized hit assembly: one NumPy gather maps every hit's read
         # id to its sample id (the old path called _sample_of per hit —
@@ -778,58 +1013,29 @@ class MultiEngine:
                 if i < ns:
                     self.sample_names[i] = nm
         self._ns = ns
-        self._merge_jit = jax.jit(self._merge_full)
+        self._merge_jit = jax.jit(
+            self._merge_full, static_argnames=("with_hits",)
+        )
         self._merge_count_jit = jax.jit(
             lambda outs: sum(o[:, 2] for o in outs)
         )
 
-    # compaction budget per padded batch width: sparse hit/histogram
-    # entries kept on the fast path (16 per query covers typical
-    # low-multiplicity workloads; denser batches fall back to the dense
-    # buffers, which stay on device until actually needed)
-    COMPACT_PER_QUERY = 16
+    # see module-level COMPACT_PER_QUERY; class attribute so tests can
+    # pin the budget per engine class
+    COMPACT_PER_QUERY = COMPACT_PER_QUERY
 
-    @staticmethod
-    def _compact(mask, cols, R):
-        """Order-preserving compaction of ``cols`` where ``mask`` → fixed
-        [R] buffers + the kept count (-1 signals overflow → caller uses
-        the dense fallback)."""
-        m32 = mask.astype(jnp.int32)
-        pos = jnp.cumsum(m32) - m32
-        keep = mask & (pos < R)
-        slot = jnp.where(keep, pos, R)
-        outs = [
-            jnp.full(R, -1, jnp.int32).at[slot].set(
-                c.astype(jnp.int32), mode="drop"
-            )
-            for c in cols
-        ]
-        total = m32.sum()
-        return jnp.where(total > R, -1, total), outs
-
-    def _merge_full(self, outs, nq):
-        """Device-side merge of per-partition packed buffers.
+    def _merge_full(self, outs, nq, with_hits=True):
+        """Device-side merge of per-partition dense packed buffers.
 
         The time-multiplexed front previously assembled per-partition
         QueryResults on host and merged them in Python — 28 device→host
         transfers per cohort batch, and the tunneled chip moves host
         traffic at only ~15 MB/s, so transfers were 1.26 s of a 1.78 s
-        batch.  Here counts/hists/hit-sets merge in one fused program and
-        the result is compacted SPARSELY (hits and histogram entries are
-        ≪ B·S·H lanes on typical workloads) into one small int32 buffer:
-
-          [count(W), complete(W),
-           n_hist, hist_idx(Rh), hist_val(Rh),
-           n_hits, hit_idx(R), read_id(R), offset(R), sample(R)]
-
-        with GLOBAL read ids and per-hit samples already resolved.  The
-        dense merged histogram / hit tensors are ALSO returned as device
-        arrays — when a dense batch overflows the compaction budget
-        (n == -1) the host transfers just the dense piece it needs, so
-        answers are exact at any density.  Padding queries (>= nq) are
-        masked out of the budget."""
+        batch.  Here counts/hists/hit-sets merge in one fused program
+        (global read ids and per-hit samples resolved on device) and the
+        result ships through :func:`sparse_pack_device` — one small
+        buffer, dense fallbacks transferred only on budget overflow."""
         W = outs[0].shape[0]
-        R = self.COMPACT_PER_QUERY * W
         count = 0
         complete = 1
         hist = jnp.zeros((W, self._ns), dtype=jnp.int32)
@@ -840,49 +1046,29 @@ class MultiEngine:
             count = count + o[:, 2]
             complete = complete * o[:, 3]
             hist = hist.at[:, :ns_s].add(o[:, 4 : 4 + ns_s])
-            rid = o[:, 4 + ns_s : 4 + ns_s + H]
-            rids.append(jnp.where(rid >= 0, rid + base, -1))
-            offs.append(o[:, 4 + ns_s + H : 4 + ns_s + 2 * H])
-            smps.append(o[:, 4 + ns_s + 2 * H : 4 + ns_s + 3 * H])
-        rid_m = jnp.concatenate(rids, axis=1)   # [W, S*H], global ids
-        off_m = jnp.concatenate(offs, axis=1)
-        smp_m = jnp.concatenate(smps, axis=1)
-        SH = rid_m.shape[1]
-        lane_q = jnp.arange(W * SH, dtype=jnp.int32) // SH
-        n_hits, (hit_idx, hit_rid, hit_off, hit_smp) = self._compact(
-            (rid_m.reshape(-1) >= 0) & (lane_q < nq),
-            [
-                jnp.arange(W * SH, dtype=jnp.int32),
-                rid_m.reshape(-1),
-                off_m.reshape(-1),
-                smp_m.reshape(-1),
-            ],
-            R,
+            if with_hits:
+                rid = o[:, 4 + ns_s : 4 + ns_s + H]
+                rids.append(jnp.where(rid >= 0, rid + base, -1))
+                offs.append(o[:, 4 + ns_s + H : 4 + ns_s + 2 * H])
+                smps.append(o[:, 4 + ns_s + 2 * H : 4 + ns_s + 3 * H])
+        return sparse_pack_device(
+            count,
+            complete,
+            hist,
+            jnp.concatenate(rids, axis=1) if with_hits else None,
+            jnp.concatenate(offs, axis=1) if with_hits else None,
+            jnp.concatenate(smps, axis=1) if with_hits else None,
+            nq,
+            self.COMPACT_PER_QUERY,
         )
-        cell_q = jnp.arange(W * self._ns, dtype=jnp.int32) // self._ns
-        n_hist, (hist_idx, hist_val) = self._compact(
-            (hist.reshape(-1) > 0) & (cell_q < nq),
-            [jnp.arange(W * self._ns, dtype=jnp.int32), hist.reshape(-1)],
-            R,
-        )
-        one = lambda x: x[None].astype(jnp.int32)
-        packed = jnp.concatenate(
-            [
-                count.astype(jnp.int32),
-                complete.astype(jnp.int32),
-                one(n_hist), hist_idx, hist_val,
-                one(n_hits), hit_idx, hit_rid, hit_off, hit_smp,
-            ]
-        )
-        dense_hits = jnp.concatenate([rid_m, off_m, smp_m], axis=1)
-        return packed, hist, dense_hits
 
     def warmup(self) -> None:
-        for e in self.engines:
-            e.warmup()
-        # compile the merged front-end paths (full + count, both widths)
+        # compile the merged front-end paths (count + full + hist-only,
+        # small and LUT widths); the per-partition programs compile as
+        # part of these, so no separate per-engine warmup is needed
         for kmers in (["A"], ["A" * self.K]):
             self.query_batch(kmers)
+            self.query_batch(kmers, include_hits=False)
             self.count_batch(kmers)
 
     def _locate(self, rid: int) -> tuple[int, int]:
@@ -922,21 +1108,26 @@ class MultiEngine:
     _expand_rc = QueryEngine._expand_rc
 
     def query_batch(
-        self, kmers: list[str], both_strands: bool = False
+        self,
+        kmers: list[str],
+        both_strands: bool = False,
+        include_hits: bool = True,
     ) -> list[QueryResult]:
         if both_strands:
             exp, back = self._expand_rc(kmers)
-            res = self.query_batch(exp)
+            res = self.query_batch(exp, include_hits=include_hits)
             return [
                 fold_strand_results(
                     km, res[i], res[back[i]] if i in back else None
                 )
                 for i, km in enumerate(kmers)
             ]
-        pend = self._dispatch_merged(kmers)
+        pend = self._dispatch_merged(kmers, include_hits)
         return self._assemble_merged(*pend)
 
-    def query_batches(self, batches: list[list[str]]) -> list[list[QueryResult]]:
+    def query_batches(
+        self, batches: list[list[str]], include_hits: bool = True
+    ) -> list[list[QueryResult]]:
         """Bulk path: pipeline device compute of batch i+1 behind the
         transfer + host assembly of batch i (the dispatcher gets this
         overlap for free from asyncio; synchronous bulk callers — the
@@ -944,7 +1135,7 @@ class MultiEngine:
         results: list[list[QueryResult]] = []
         pend = None
         for kmers in batches:
-            cur = self._dispatch_merged(kmers)
+            cur = self._dispatch_merged(kmers, include_hits)
             if pend is not None:
                 results.append(self._assemble_merged(*pend))
             pend = cur
@@ -952,85 +1143,36 @@ class MultiEngine:
             results.append(self._assemble_merged(*pend))
         return results
 
-    def _dispatch_merged(self, kmers: list[str]):
+    def _dispatch_merged(self, kmers: list[str], include_hits: bool = True):
         """Async-dispatch all partitions + the device merge; no transfer."""
         codes, lengths, nq = self.engines[0]._pad_encode(kmers)
         outs = tuple(
             e._dispatch_single(codes, lengths, nq, False)
             for e in self.engines
         )
-        return kmers, nq, self._merge_jit(outs, np.int32(nq))
+        return (
+            kmers,
+            nq,
+            include_hits,
+            self._merge_jit(outs, np.int32(nq), with_hits=include_hits),
+        )
 
-    def _assemble_merged(self, kmers, nq, merged) -> list[QueryResult]:
+    def _assemble_merged(
+        self, kmers, nq, include_hits, merged
+    ) -> list[QueryResult]:
         packed_dev, dense_hist_dev, dense_hits_dev = merged
         arr = np.asarray(packed_dev)  # the one (small) transfer
         NS, SH = self._ns, len(self.engines) * self.H
-        W = (len(arr) - 2) // (2 + self.COMPACT_PER_QUERY * 6)
-        R = self.COMPACT_PER_QUERY * W
-        count_m = arr[:W]
-        complete_m = arr[W : 2 * W].astype(bool)
-        p = 2 * W
-        n_hist = int(arr[p])
-        hist_idx = arr[p + 1 : p + 1 + R]
-        hist_val = arr[p + 1 + R : p + 1 + 2 * R]
-        p += 1 + 2 * R
-        n_hits = int(arr[p])
-        hit_idx = arr[p + 1 : p + 1 + R]
-        hit_rid = arr[p + 1 + R : p + 1 + 2 * R]
-        hit_off = arr[p + 1 + 2 * R : p + 1 + 3 * R]
-        hit_smp = arr[p + 1 + 3 * R : p + 1 + 4 * R]
-
-        hits_q: list[list[dict]] = [[] for _ in range(nq)]
-        if n_hits >= 0:
-            for j in range(n_hits):
-                q = int(hit_idx[j]) // SH
-                hits_q[q].append(
-                    dict(
-                        read_id=int(hit_rid[j]),
-                        sample_id=int(hit_smp[j]),
-                        offset=int(hit_off[j]),
-                    )
-                )
-        else:  # dense fallback: transfer just the hit tensor
-            dh = np.asarray(dense_hits_dev)[:nq]
-            rid_m = dh[:, :SH]
-            off_m = dh[:, SH : 2 * SH]
-            smp_m = dh[:, 2 * SH :]
-            for i in range(nq):
-                v = rid_m[i] >= 0
-                hits_q[i] = [
-                    dict(read_id=r, sample_id=s, offset=o)
-                    for r, s, o in zip(
-                        rid_m[i][v].tolist(),
-                        smp_m[i][v].tolist(),
-                        off_m[i][v].tolist(),
-                    )
-                ]
-        hist_q: list[dict[str, int]] = [{} for _ in range(nq)]
-        if n_hist >= 0:
-            for j in range(n_hist):
-                cell = int(hist_idx[j])
-                hist_q[cell // NS][
-                    self.sample_names[cell % NS]
-                ] = int(hist_val[j])
-        else:  # dense fallback: transfer just the histogram
-            hist_m = np.asarray(dense_hist_dev)[:nq]
-            for i in range(nq):
-                nz = np.nonzero(hist_m[i])[0]
-                hist_q[i] = {
-                    self.sample_names[int(s)]: int(hist_m[i][s]) for s in nz
-                }
-        return [
-            QueryResult(
-                kmer=km,
-                count=int(count_m[i]),
-                hits=hits_q[i],
-                sample_hist=hist_q[i],
-                hits_truncated=int(count_m[i]) > len(hits_q[i]),
-                sample_hist_complete=bool(complete_m[i]),
-            )
-            for i, km in enumerate(kmers)
-        ]
+        cpq = self.COMPACT_PER_QUERY
+        if include_hits:
+            W = (len(arr) - 2) // (2 + cpq * 6)
+        else:
+            W = (len(arr) - 1) // (2 + cpq * 2)
+        return assemble_sparse(
+            kmers, nq, W, arr, NS, SH, cpq, self.sample_names,
+            has_lu=False, has_hits=include_hits,
+            dense_hist_dev=dense_hist_dev, dense_hits_dev=dense_hits_dev,
+        )
 
     def read_sequence(self, read_id: int) -> str:
         s, local = self._locate(read_id)

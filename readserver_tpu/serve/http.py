@@ -168,7 +168,9 @@ class RestServer:
                                  {"error": f"bad mode {mode!r}"})
                 results = await self.dispatcher.submit_many(
                     kmers,
-                    counts_only=(mode == "count"),
+                    mode={"count": "count", "samples": "hist"}.get(
+                        mode, "full"
+                    ),
                     both_strands=bool(req.get("both_strands")),
                 )
                 seqs = bool(req.get("sequences"))
@@ -263,7 +265,11 @@ class RestServer:
             mode = path.lstrip("/")
             try:
                 r = await self.dispatcher.submit(
-                    kmer, counts_only=(mode == "count"), both_strands=both
+                    kmer,
+                    mode={"count": "count", "samples": "hist"}.get(
+                        mode, "full"
+                    ),
+                    both_strands=both,
                 )
                 return _resp(
                     "200 OK",

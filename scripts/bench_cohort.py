@@ -154,10 +154,10 @@ def main() -> int:
 
         t = time.perf_counter()
         pend = eng._dispatch_merged(kmers[:B])
-        jax.block_until_ready(pend[2])
+        jax.block_until_ready(pend[-1])
         extras["device_ms"] = round((time.perf_counter() - t) * 1e3, 1)
         t = time.perf_counter()
-        arr = np.asarray(pend[2][0])
+        arr = np.asarray(pend[-1][0])
         extras["transfer_ms"] = round((time.perf_counter() - t) * 1e3, 1)
         extras["transfer_mib"] = round(arr.nbytes / 2**20, 2)
         t = time.perf_counter()
@@ -180,11 +180,13 @@ def main() -> int:
         extras["hot_kmer_complete_frac"] = round(
             sum(r.sample_hist_complete for r in res_hot) / B, 3
         )
-        # the cap binds in whole sweep-window rounds, so pick a window
-        # smaller than the worklist and a cap at about half of it
-        cap = max(B, rows_needed // 2)
+        # the cap binds in whole sweep-window rounds and applies PER
+        # SHARD (each doc shard sweeps its own intervals: worklist ≈
+        # count·B/S rows), so pick window == cap, both well under one
+        # shard's worklist
+        cap = B // 8
         capped_cfg = ServeConfig(
-            batch_size=B, max_hits=64, max_sweep_rows=cap, sweep_window=B
+            batch_size=B, max_hits=64, max_sweep_rows=cap, sweep_window=cap
         )
         eng_cap = MultiEngine(parts, capped_cfg)
         eng_cap.query_batch(hot_batch)  # warm/compile

@@ -81,47 +81,74 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
 
-    corpus = simulate.simulate_config("wg", scale=args.scale)
-    mat = corpus.reads[0].base
-    corpus.reads.clear()
     spec = simulate.CONFIGS["wg"]
     k = spec.kmer_len
     B = args.batch
-    rng = np.random.default_rng(41)
-    # query sample off read windows (+10% misses)
     total_q = B * args.iters
-    rows = rng.integers(0, mat.shape[0], size=total_q)
-    offs = rng.integers(0, mat.shape[1] - k + 1, size=total_q)
-    km_codes = mat[rows[:, None], offs[:, None] + np.arange(k)[None, :]]
-    miss = rng.random(total_q) < 0.1
-    km_codes[miss] = rng.integers(1, 5, size=(int(miss.sum()), k))
+    pcf = cache / "parity_cache.npz"
+    mat = None
+    if pcf.exists():
+        # build-time oracle cache: fixed query pool with exact counts for
+        # every entry — the bench needs neither the 22M-read simulation
+        # nor the multi-minute window-multiset sort (VERDICT r3 #2)
+        z = np.load(pcf)
+        pool, pool_counts = z["queries"], z["counts"]
+        km_codes = pool[np.arange(total_q) % len(pool)]
+        want = pool_counts[np.arange(total_q) % len(pool)]
+        parity_source = "cached"
+    else:
+        corpus = simulate.simulate_config("wg", scale=args.scale)
+        mat = corpus.reads[0].base
+        corpus.reads.clear()
+        rng = np.random.default_rng(41)
+        rows = rng.integers(0, mat.shape[0], size=total_q)
+        offs = rng.integers(0, mat.shape[1] - k + 1, size=total_q)
+        km_codes = mat[rows[:, None], offs[:, None] + np.arange(k)[None, :]]
+        miss = rng.random(total_q) < 0.1
+        km_codes[miss] = rng.integers(1, 5, size=(int(miss.sum()), k))
+        want = None
+        parity_source = "multiset"
     kmers = ["".join(alphabet.decode(c)) for c in km_codes]
-    print(f"# queries staged at {time.time()-t0:.0f}s", file=sys.stderr,
-          flush=True)
+    print(f"# queries staged ({parity_source}) at {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
 
     res0 = eng.query_batch(kmers[:B])
     nchk = min(args.parity_queries, B)
-    want = window_multiset_counts(mat, km_codes[:nchk].astype(np.uint8))
+    if want is None:
+        want = window_multiset_counts(mat, km_codes[:nchk].astype(np.uint8))
     for i in range(nchk):
         if res0[i].count != int(want[i]):
-            print(json.dumps({"error": f"count parity q{i}"}))
+            print(json.dumps({
+                "error": f"count parity q{i}: {res0[i].count} != "
+                         f"{int(want[i])}"
+            }))
             return 1
-        # every enumerated hit must spell the query (global read-id space)
+        # every enumerated hit must spell the query (global read-id
+        # space); spelled against mat when simulated, else against the
+        # engine's cold corpus store
         for h in res0[i].hits:
             r, o = h["read_id"], h["offset"]
-            if not np.array_equal(mat[r, o : o + k], km_codes[i]):
+            text = (
+                mat[r] if mat is not None
+                else alphabet.encode(eng.read_sequence(r))
+            )
+            if not np.array_equal(text[o : o + k], km_codes[i]):
                 print(json.dumps({"error": f"hit parity q{i}"}))
                 return 1
-    print(f"# parity OK ({nchk} counts + hit spells) at "
+    print(f"# parity OK ({nchk} counts + hit spells, {parity_source}) at "
           f"{time.time()-t0:.0f}s", file=sys.stderr, flush=True)
 
+    batches = [kmers[it * B : (it + 1) * B] for it in range(args.iters)]
     t1 = time.perf_counter()
-    for it in range(args.iters):
-        eng.query_batch(kmers[it * B : (it + 1) * B])
+    if hasattr(eng, "query_batches"):
+        eng.query_batches(batches)
+    else:
+        for b_ in batches:
+            eng.query_batch(b_)
     dt = time.perf_counter() - t1
     t2 = time.perf_counter()
-    for it in range(args.iters):
-        eng.count_batch(kmers[it * B : (it + 1) * B])
+    for b_ in batches:
+        eng.count_batch(b_)
     dtc = time.perf_counter() - t2
 
     result = {
@@ -142,6 +169,7 @@ def main() -> int:
         "max_hits": cfg.max_hits,
         "exact_attribution": True,
         "parity_queries": nchk,
+        "parity_source": parity_source,
         "device": jax.devices()[0].device_kind,
     }
     (REPO / "BENCH_wg.json").write_text(json.dumps(result, indent=2))

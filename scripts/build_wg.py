@@ -94,14 +94,64 @@ def build_my_shards(args) -> int:
     return 0
 
 
+PARITY_POOL = 32768  # cached query pool size (all with oracle counts)
+
+
+def write_parity_cache(scale: float, shards: int) -> Path:
+    """One-time oracle pass, saved next to the cohort: a fixed query pool
+    + exact counts for EVERY pool entry (sorted window multiset, one sort
+    + two binary searches per query).  bench_wg then needs neither the
+    22M-read re-simulation nor the multi-minute multiset sort per run
+    (VERDICT r3 #2/#6)."""
+    from readserver_tpu import alphabet  # noqa: F401  (env check)
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.oracle.naive import window_multiset_counts
+
+    out = wg_cache(scale, shards)
+    t0 = time.time()
+    corpus = simulate.simulate_config("wg", scale=scale)
+    mat = corpus.reads[0].base
+    corpus.reads.clear()
+    del corpus
+    spec = simulate.CONFIGS["wg"]
+    k = spec.kmer_len
+    rng = np.random.default_rng(41)
+    rows = rng.integers(0, mat.shape[0], size=PARITY_POOL)
+    offs = rng.integers(0, mat.shape[1] - k + 1, size=PARITY_POOL)
+    pool = mat[rows[:, None], offs[:, None] + np.arange(k)[None, :]]
+    miss = rng.random(PARITY_POOL) < 0.1
+    pool[miss] = rng.integers(
+        1, 5, size=(int(miss.sum()), k), dtype=pool.dtype
+    )
+    print(f"# pool sampled ({time.time()-t0:.0f}s); counting...",
+          flush=True)
+    counts = window_multiset_counts(mat, pool.astype(np.uint8))
+    tmp = out / "parity_cache.npz.tmp.npz"
+    np.savez(tmp, queries=pool.astype(np.uint8), counts=counts)
+    tmp.rename(out / "parity_cache.npz")
+    print(
+        f"# parity cache: {PARITY_POOL} queries "
+        f"(present: {(counts > 0).sum()}) in {time.time()-t0:.0f}s "
+        f"→ {out / 'parity_cache.npz'}",
+        flush=True,
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.05)
     ap.add_argument("--shards", type=int, default=5)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--worker-id", type=int, default=-1)
+    ap.add_argument("--parity-only", action="store_true",
+                    help="(re)generate just the parity cache for an "
+                         "already-built cohort")
     args = ap.parse_args()
 
+    if args.parity_only:
+        write_parity_cache(args.scale, args.shards)
+        return 0
     if args.worker_id >= 0:
         return build_my_shards(args)
 
@@ -143,6 +193,7 @@ def main() -> int:
     tmp.write_text(json.dumps(manifest, indent=2))
     tmp.rename(out / COHORT_MANIFEST)
     print(f"wg cohort complete in {time.time()-t0:.0f}s at {out}")
+    write_parity_cache(args.scale, args.shards)
     return 0
 
 

@@ -458,3 +458,33 @@ def test_multi_engine_compact_overflow_fallback(cohort_setup, monkeypatch):
         assert sorted(map(key, a.hits)) == sorted(map(key, b.hits))
         assert (a.sample_hist or {}) == (b.sample_hist or {})
         assert a.sample_hist_complete == b.sample_hist_complete
+
+
+def test_hist_only_mode_matches_full(cohort_setup):
+    """query_batch(include_hits=False) — the /samples wire tier — must
+    return the same counts/histograms/complete flags as the full path,
+    for both the single engine and the multi-partition front."""
+    from readserver_tpu.serve import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    cfg = ServeConfig(batch_size=16, max_hits=64)
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 10, corpus.spec.kmer_len, seed=55, miss_frac=0.25
+        )
+    ]
+    for eng in (
+        QueryEngine(build_index(corpus.reads, sample_ids=corpus.sample_ids),
+                    cfg),
+        MultiEngine(parts, cfg),
+    ):
+        full = eng.query_batch(kmers)
+        hist = eng.query_batch(kmers, include_hits=False)
+        assert any(r.sample_hist for r in full)
+        for a, b in zip(full, hist):
+            assert a.count == b.count
+            assert (a.sample_hist or {}) == (b.sample_hist or {})
+            assert a.sample_hist_complete == b.sample_hist_complete
+            assert b.hits == []
