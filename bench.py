@@ -267,7 +267,6 @@ def main() -> int:
         # (counts precomputed once, spliced into batch 0's head above);
         # fallback: in-situ 2-bit window multiset — one linear pass + sort
         # over ALL read windows, then binary search per query.
-        mat = np.stack(corpus.reads)
         if parity_counts is not None:
             nq = len(parity_counts)
             got = (u1 - l1)[:nq].astype(np.int64)
@@ -283,9 +282,11 @@ def main() -> int:
             nq = min(args.parity_queries, B)
             from readserver_tpu.oracle.naive import window_multiset_counts
 
+            mat = np.stack(corpus.reads)
             rng = np.random.default_rng(7)
             sel = np.sort(rng.choice(B, size=nq, replace=False))
             want = window_multiset_counts(mat, kmers[sel].astype(np.uint8))
+            del mat
             got = (np.asarray(u1) - np.asarray(l1))[sel].astype(np.int64)
             if not np.array_equal(got, want):
                 bad = int(np.flatnonzero(got != want)[0])
@@ -296,7 +297,7 @@ def main() -> int:
                 return 1
             parity_queries = int(nq)
         else:
-            mat, parity_queries = None, 0
+            parity_queries = 0
         parity_checked = True
         mark(
             f"parity self-check passed ({parity_queries} oracle queries"
@@ -358,10 +359,12 @@ def main() -> int:
         mark("resolve path compiling")
         first = res_fn(index, rb[0], rlen)
         np.asarray(first[0])
-        if mat is not None:
+        if parity_checked:
             # hit-level parity: every resolved (read_id, offset) must spell
-            # the query k-mer in the raw reads, and fully-enumerated queries
-            # (count <= max_hits) must yield exactly `count` distinct hits
+            # the query k-mer in the raw reads (via the O(read_len) cold
+            # store — no 2 GB read matrix needed at chr20 scale), and
+            # fully-enumerated queries (count <= max_hits) must yield
+            # exactly `count` distinct hits
             cnt, rid, off, val = (np.asarray(x) for x in first[:4])
             rng = np.random.default_rng(11)
             for qi in rng.choice(Br, size=min(64, Br), replace=False):
@@ -375,7 +378,8 @@ def main() -> int:
                     or len(set(zip(r.tolist(), o.tolist()))) != len(r)
                     or not all(
                         np.array_equal(
-                            mat[ri, oi : oi + k], kmers[qi].astype(np.uint8)
+                            packed.extract_read(ri)[oi : oi + k],
+                            kmers[qi].astype(np.uint8),
                         )
                         for ri, oi in zip(r.tolist(), o.tolist())
                     )
@@ -397,7 +401,6 @@ def main() -> int:
             else "slow"
         )
         extras["resolve_max_hits"] = H
-    del mat
 
     result = {
         "metric": "kmer_backward_searches_per_s_per_chip",

@@ -789,9 +789,18 @@ class QueryEngine:
     # ------------------------------------------------------------ public
 
     def warmup(self) -> None:
-        """Compile all serving path variants and pay the first-transfer
-        handshake."""
-        for q in (["A"], ["A" * self.K]):  # plain + LUT path (if any)
+        """Compile all serving path variants — every answer tier at every
+        compiled width, INCLUDING the full batch width (a first full-width
+        flight otherwise pays its ~seconds of XLA compile inside a served
+        request: that was the entire wire-bench p95 tail) — and pay the
+        first-transfer handshake."""
+        widths = sorted(
+            {w for w in self.cfg.small_batch_sizes if w < self.B}
+            | {self.B}
+        )
+        # short query (plain path) at the smallest width, full-length
+        # query (LUT/k-step path) at every width
+        for q in [["A"]] + [["A" * self.K] * w for w in widths]:
             self.count_batch(q)
             if self._doc or self._sharded:
                 self._run(q, counts_only=False)
@@ -1063,10 +1072,16 @@ class MultiEngine:
         )
 
     def warmup(self) -> None:
-        # compile the merged front-end paths (count + full + hist-only,
-        # small and LUT widths); the per-partition programs compile as
+        # compile the merged front-end paths (count + full + hist-only)
+        # at every compiled width including the full batch (see
+        # QueryEngine.warmup on why full-width compiles must not land
+        # inside a served request); the per-partition programs compile as
         # part of these, so no separate per-engine warmup is needed
-        for kmers in (["A"], ["A" * self.K]):
+        widths = sorted(
+            {w for w in self.cfg.small_batch_sizes if w < self.B}
+            | {self.B}
+        )
+        for kmers in [["A"]] + [["A" * self.K] * w for w in widths]:
             self.query_batch(kmers)
             self.query_batch(kmers, include_hits=False)
             self.count_batch(kmers)
