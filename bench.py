@@ -349,7 +349,11 @@ def main() -> int:
                 l, u = backward_search_lut(idx, lut_, p, km, ln)
             else:
                 l, u = backward_search(idx, km, ln)
-            rid, off, valid = resolve_intervals(idx, l, u, max_hits=H)
+            # row-budget compaction as served (ServeConfig default 0.6):
+            # invalid lanes otherwise still issue masked walk gathers
+            rid, off, valid = resolve_intervals(
+                idx, l, u, max_hits=H, row_budget=int(0.6 * Br * H)
+            )
             return u - l, rid, off, valid, sample_histogram(idx, rid, valid)
 
         _res_jit = jax.jit(_res_inner)

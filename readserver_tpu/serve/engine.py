@@ -496,7 +496,13 @@ class QueryEngine:
                     rid = jnp.where(valid, rid, neg).astype(jnp.int32)
                     off = jnp.where(valid, off, neg).astype(jnp.int32)
                     smp = jnp.where(valid, smp, neg).astype(jnp.int32)
-                if self.cfg.exact_attribution:
+                if self.cfg.exact_attribution and self._ns == 1:
+                    # single-sample index: the exact per-sample histogram
+                    # IS the count — no interval sweep needed (chr20/wg
+                    # shards; the sweep was most of their serve cost)
+                    hist = (u - l)[:, None].astype(jnp.int32)
+                    complete = jnp.ones(l.shape[0], dtype=bool)
+                elif self.cfg.exact_attribution:
                     from readserver_tpu.ops import exact_sample_histogram
 
                     W = codes.shape[0]

@@ -67,13 +67,13 @@ def client_worker(
     port: int,
     batches: list[list[str]],
     mode: str,
-    latencies: list[float],
+    latencies: list[tuple[int, float]],
     counts: list[int],
     errors: list[str],
 ) -> None:
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
     try:
-        for kmers in batches:
+        for seq, kmers in enumerate(batches):
             body = json.dumps({"kmers": kmers, "mode": mode}).encode()
             t0 = time.perf_counter()
             conn.request(
@@ -82,7 +82,7 @@ def client_worker(
             )
             resp = conn.getresponse()
             data = json.loads(resp.read())
-            latencies.append(time.perf_counter() - t0)
+            latencies.append((seq, time.perf_counter() - t0))
             if resp.status != 200:
                 errors.append(str(data)[:200])
                 return
@@ -101,7 +101,7 @@ def main() -> int:
     ap.add_argument("--request-kmers", type=int, default=2048,
                     help="k-mers per POST /batch request")
     ap.add_argument("--clients", type=int, default=4)
-    ap.add_argument("--requests-per-client", type=int, default=8)
+    ap.add_argument("--requests-per-client", type=int, default=16)
     ap.add_argument("--modes", default="count,samples")
     args = ap.parse_args()
 
@@ -157,7 +157,7 @@ def main() -> int:
         if errs:
             print(json.dumps({"error": f"warmup {mode}: {errs[0]}"}))
             return 1
-        latencies: list[float] = []
+        latencies: list[tuple[int, float]] = []
         counts: list[int] = []
         threads = [
             threading.Thread(
@@ -177,13 +177,22 @@ def main() -> int:
             print(json.dumps({"error": f"{mode}: {errs[0]}"}))
             return 1
         served = sum(counts)
+        lat = np.array([t for _, t in latencies])
+        # startup transients (every client's first request lands while
+        # the queue/relay warms) reported separately from steady state
+        steady = np.array([t for seq, t in latencies if seq > 0])
         result[f"{mode}_qps"] = round(served / dt)
         result[f"{mode}_request_p50_ms"] = round(
-            float(np.median(latencies)) * 1e3, 2
+            float(np.median(lat)) * 1e3, 2
         )
         result[f"{mode}_request_p95_ms"] = round(
-            float(np.percentile(latencies, 95)) * 1e3, 2
+            float(np.percentile(lat, 95)) * 1e3, 2
         )
+        result[f"{mode}_request_max_ms"] = round(float(lat.max()) * 1e3, 2)
+        if len(steady):
+            result[f"{mode}_steady_p95_ms"] = round(
+                float(np.percentile(steady, 95)) * 1e3, 2
+            )
         result[f"{mode}_queries"] = served
     result["value"] = result.get("count_qps", 0)
     # vs device-side search throughput: the dispatcher+JSON overhead factor
