@@ -488,3 +488,30 @@ def test_hist_only_mode_matches_full(cohort_setup):
             assert (a.sample_hist or {}) == (b.sample_hist or {})
             assert a.sample_hist_complete == b.sample_hist_complete
             assert b.hits == []
+
+
+def test_single_engine_compact_overflow_fallback(tiny_corpus, monkeypatch):
+    """The single-device sparse pack must fall back to the dense device
+    buffers on budget overflow, identical answers (mirror of the
+    MultiEngine test for QueryEngine's served path)."""
+    cfg = ServeConfig(batch_size=16, max_hits=64)
+    packed = build_index(
+        tiny_corpus.reads, sample_ids=tiny_corpus.sample_ids
+    )
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            tiny_corpus, 12, tiny_corpus.spec.kmer_len, seed=77,
+            miss_frac=0.2,
+        )
+    ]
+    ref = QueryEngine(packed, cfg).query_batch(kmers)
+    assert any(r.hits for r in ref)
+    monkeypatch.setattr(QueryEngine, "COMPACT_PER_QUERY", 1)
+    got = QueryEngine(packed, cfg).query_batch(kmers)
+    key = lambda h: (h["read_id"], h["offset"], h["sample_id"])
+    for a, b in zip(ref, got):
+        assert a.count == b.count
+        assert a.interval == b.interval
+        assert sorted(map(key, a.hits)) == sorted(map(key, b.hits))
+        assert (a.sample_hist or {}) == (b.sample_hist or {})
