@@ -188,7 +188,8 @@ def cmd_compact(args) -> int:
     return 0
 
 
-def _load_engine(index_path: str, batch_size: int, num_shards: int):
+def _load_engine(index_path: str, batch_size: int, num_shards: int,
+                 warmup_k: tuple = ()):
     """Load one artifact (single/interval-sharded) or a comma-separated
     list of artifacts (document-sharded, one per shard)."""
     import jax
@@ -210,12 +211,19 @@ def _load_engine(index_path: str, batch_size: int, num_shards: int):
                 devices=jax.devices()[: len(parts)],
             )
             return QueryEngine(
-                parts, ServeConfig(batch_size=batch_size), mesh=mesh
+                parts,
+                ServeConfig(batch_size=batch_size,
+                            warmup_query_lengths=warmup_k),
+                mesh=mesh,
             )
         # fewer devices than shards: time-multiplexed front end
         from readserver_tpu.serve.engine import MultiEngine
 
-        return MultiEngine(parts, ServeConfig(batch_size=batch_size))
+        return MultiEngine(
+            parts,
+            ServeConfig(batch_size=batch_size,
+                        warmup_query_lengths=warmup_k),
+        )
     paths = index_path.split(",")
     if len(paths) > 1:
         from readserver_tpu.parallel import make_mesh
@@ -226,9 +234,15 @@ def _load_engine(index_path: str, batch_size: int, num_shards: int):
             num_shards=len(parts),
             devices=jax.devices()[: len(parts)],
         )
-        return QueryEngine(parts, ServeConfig(batch_size=batch_size), mesh=mesh)
+        return QueryEngine(
+            parts,
+            ServeConfig(batch_size=batch_size,
+                        warmup_query_lengths=warmup_k),
+            mesh=mesh,
+        )
     packed = artifact.load_artifact(index_path, mmap=False)
-    cfg = ServeConfig(batch_size=batch_size, num_shards=num_shards)
+    cfg = ServeConfig(batch_size=batch_size, num_shards=num_shards,
+                      warmup_query_lengths=warmup_k)
     mesh = None
     if num_shards > 1:
         from readserver_tpu.parallel import make_mesh
@@ -298,6 +312,13 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _warmup_k(args) -> tuple:
+    """--warmup-k "31,21" → uniform query lengths precompiled at startup
+    (each sliced length is its own XLA shape; see ServeConfig)."""
+    raw = getattr(args, "warmup_k", "") or ""
+    return tuple(int(x) for x in raw.split(",") if x.strip())
+
+
 def cmd_serve(args) -> int:
     import asyncio
 
@@ -324,6 +345,7 @@ def cmd_serve(args) -> int:
             batch_size=args.batch,
             num_shards=int(mesh.shape["shard"]),
             data_parallel=int(mesh.shape["dp"]),
+            warmup_query_lengths=_warmup_k(args),
         )
         engine = QueryEngine(packed, cfg, mesh=mesh)
         if jax.process_index() != 0:
@@ -338,7 +360,8 @@ def cmd_serve(args) -> int:
             engine.stop_followers()
         return 0
 
-    engine = _load_engine(args.index, args.batch, args.shards)
+    engine = _load_engine(args.index, args.batch, args.shards,
+                          warmup_k=_warmup_k(args))
     engine.warmup()
     try:
         asyncio.run(serve_forever(engine, args.host, args.port))
@@ -455,6 +478,9 @@ def main(argv=None) -> int:
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--batch", type=int, default=256)
     s.add_argument("--shards", type=int, default=1)
+    s.add_argument("--warmup-k", default="",
+                   help="comma-separated uniform query lengths to "
+                        "precompile at startup (e.g. 31)")
     s.add_argument("--coordinator", default="",
                    help="host:port of process 0 — joins a multi-host "
                         "jax.distributed group (run one serve per host)")

@@ -88,6 +88,12 @@ class ServeConfig:
     # off by it report sample_hist_complete=False.
     exact_attribution: bool = True
     max_sweep_rows: int | None = 1 << 20
+    # uniform query lengths to precompile at warmup, besides max_query_len
+    # (uniform batches are column-sliced to their length — a distinct XLA
+    # shape; a length first seen in production pays its full-width compile
+    # inside a served request).  Deployments serving k-mers shorter than
+    # max_query_len should list their k here (e.g. (31,)).
+    warmup_query_lengths: tuple = ()
     # exact-attribution sweep chunk (worklist lanes per while_loop round).
     # None = auto: min(batch·max_hits, 8·batch) — the worklist holds
     # Σ interval counts rows, so a B·H window wastes most lanes on typical

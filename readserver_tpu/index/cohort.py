@@ -228,6 +228,9 @@ def build_cohort_stream(
         nonlocal buf_reads, buf_samples, buf_bases, next_shard
         if not buf_reads:
             return
+        # skip names held by compaction-kept shards (see append_to_cohort)
+        while f"shard_{next_shard:04d}" in shard_dirs:
+            next_shard += 1
         name = f"shard_{next_shard:04d}"
         packed = build_index(
             buf_reads,
@@ -312,17 +315,17 @@ def append_to_cohort(
     if manifest.get("kind") != "cohort":
         raise ValueError(f"{out} is not a cohort artifact")
     built_cfg, built_kw = shard_build_params(out, manifest)
-    if config is None:
-        # inherit the cohort's actual build-time layout so appended shards
-        # can never drift from the existing ones (ADVICE r3)
-        config = built_cfg
-        for k, v in built_kw.items():
-            build_kw.setdefault(k, v)
-    elif config != built_cfg:
+    if config is not None and config != built_cfg:
         raise ValueError(
             f"config mismatch: cohort shards were built with "
             f"{built_cfg.to_json()}, append got {config.to_json()}"
         )
+    config = built_cfg
+    # inherit the cohort's actual build-time tier kwargs so appended
+    # shards can never drift from the existing ones (ADVICE r3) — also
+    # when an (identical) config was passed explicitly
+    for k, v in built_kw.items():
+        build_kw.setdefault(k, v)
     if manifest["format_version"] != config.format_version:
         raise ValueError(
             f"format_version mismatch: cohort has "
@@ -368,6 +371,12 @@ def append_to_cohort(
     shard_dirs = list(manifest["shards"])
     log_path = out / PROGRESS_LOG
     for lo, hi in spans:
+        # count-derived names can collide with a shard_XXXX dir kept in
+        # place by compaction (XXXX >= num_shards after singleton keeps);
+        # skip names the manifest still references.  Dirs NOT in the
+        # manifest are crash orphans and are deliberately overwritten.
+        while f"shard_{next_shard:04d}" in shard_dirs:
+            next_shard += 1
         name = f"shard_{next_shard:04d}"
         packed = build_index(
             list(reads[lo:hi]),

@@ -72,11 +72,22 @@ def upgrade_artifact(
     path = Path(path)
     manifest = json.loads((path / artifact.MANIFEST_NAME).read_text())
     missing = plan_upgrade(path, kstep=kstep, fast_resolve=fast_resolve)
-    if not missing:
-        return []
     packed = artifact.load_artifact(path, mmap=True)
     config = packed.config
     rate = sample_rate or packed.sample_rate or 32
+    # a rate change makes the EXISTING resolve tiers (mark sign bits,
+    # mark_rank, sample_pairs, fused mark planes) inconsistent with the
+    # new ones — the resolve walks bound their step count by sample_rate,
+    # so mixing densities returns garbage hits.  Rewrite the whole
+    # resolve tier set at the new rate instead.
+    if (
+        fast_resolve
+        and packed.sample_rate
+        and rate != packed.sample_rate
+    ):
+        missing = sorted(set(missing) | set(RESOLVE_TIERS))
+    if not missing:
+        return []
 
     bwt = packing.unpack_sym4(np.asarray(packed.sym4), packed.n)
     C = np.asarray(packed.C)
@@ -130,9 +141,10 @@ def upgrade_artifact(
     # a crash mid-upgrade leaves the original artifact fully valid
     for name, arr in new.items():
         np.save(path / f"{name}.npy", arr)
-    manifest["arrays"] = list(manifest["arrays"]) + [
-        t for t in missing if t in new
-    ]
+    # dedupe: a rate-change rewrite touches arrays already listed
+    manifest["arrays"] = list(
+        dict.fromkeys(list(manifest["arrays"]) + sorted(new))
+    )
     manifest.update(meta_updates)
     tmp = path / (artifact.MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))

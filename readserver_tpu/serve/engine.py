@@ -46,6 +46,24 @@ def rc_string(kmer: str) -> str:
     return alphabet.decode(alphabet.revcomp(alphabet.encode(kmer)))
 
 
+def _require_global_sample_space(partitions, names) -> None:
+    """Partition merges (histogram psum / device-side column sums) are by
+    sample ID, so every partition's sample names must be a prefix of the
+    global name table.  Independently-built artifacts that each call
+    their local sample 0 something different would otherwise have their
+    counts silently added together under one label — refuse instead
+    (build/append through the cohort API, which keeps the space global)."""
+    for s, p in enumerate(partitions):
+        for i, nm in enumerate(p.sample_names):
+            if i < len(names) and nm != names[i]:
+                raise ValueError(
+                    f"partition {s} calls sample id {i} {nm!r} but the "
+                    f"cohort calls it {names[i]!r}: partitions must share "
+                    "the GLOBAL sample-id space (merges are by id) — "
+                    "rebuild or append via the cohort API"
+                )
+
+
 def fold_strand_results(
     kmer: str, fwd: QueryResult, rev: QueryResult | None
 ) -> QueryResult:
@@ -107,7 +125,8 @@ def _compact_cols(mask, cols, R):
 
 
 def sparse_pack_device(
-    count, complete, hist, rid, off, smp, nq, cpq, l=None, u=None
+    count, complete, hist, rid, off, smp, nq, cpq, l=None, u=None,
+    trunc=None,
 ):
     """Device-side sparse pack of a query batch's answers into ONE small
     int32 buffer (the tunneled chip moves host traffic at ~15 MB/s, so
@@ -125,6 +144,10 @@ def sparse_pack_device(
     R = cpq * W
     one = lambda x: x[None].astype(jnp.int32)
     segs = [count.astype(jnp.int32), complete.astype(jnp.int32)]
+    if trunc is not None:
+        # hist-only tier: whether a follow-up hits query would truncate
+        # (computed exactly where per-partition counts are still visible)
+        segs.append(trunc.astype(jnp.int32))
     if l is not None:
         segs += [l.astype(jnp.int32), u.astype(jnp.int32)]
     NS = hist.shape[1]
@@ -173,6 +196,10 @@ def assemble_sparse(
     count_m = arr[:W]
     complete_m = arr[W : 2 * W].astype(bool)
     p = 2 * W
+    trunc_m = None
+    if not has_hits:  # hist tier packs the exact truncation flag instead
+        trunc_m = arr[p : p + W].astype(bool)
+        p += W
     l_m = u_m = None
     if has_lu:
         l_m = arr[p : p + W]
@@ -238,9 +265,10 @@ def assemble_sparse(
                 ),
                 hits=hits_q[i],
                 sample_hist=hist_q[i],
-                # without hit resolution the per-query cap is the bound
                 hits_truncated=(
-                    count > len(hits_q[i]) if has_hits else count > SH
+                    count > len(hits_q[i])
+                    if has_hits
+                    else bool(trunc_m[i])
                 ),
                 sample_hist_complete=bool(complete_m[i]),
             )
@@ -291,6 +319,7 @@ class QueryEngine:
             for i, nm in names.items():
                 if i < ns:
                     self.sample_names[i] = nm
+            _require_global_sample_space(self.partitions, self.sample_names)
         else:
             self.sample_names = packed.sample_names or ["sample_0"]
         self._sharded = not self._doc and mesh is not None and (
@@ -530,23 +559,25 @@ class QueryEngine:
                     complete = ((u - l) <= self.H) & (resolved == (u - l))
                 return l, u, hist, complete, rid, off, smp
 
-            # dense per-batch buffer [B, 4+NS+3H] — the form MultiEngine
-            # merges across partitions on device
-            def _full(idx, lut, codes, lengths, use_lut, use_pair):
+            # dense per-batch buffer [B, 4+NS(+3H)] — the form MultiEngine
+            # merges across partitions on device; ``with_hits=False``
+            # skips hit resolution AND its buffer columns (the /samples
+            # tier on the multi-partition deployments)
+            def _full(idx, lut, codes, lengths, use_lut, use_pair,
+                      with_hits=True):
                 l, u, hist, complete, rid, off, smp = _pieces(
-                    idx, lut, codes, lengths, use_lut, use_pair, True
+                    idx, lut, codes, lengths, use_lut, use_pair, with_hits
                 )
-                return jnp.concatenate(
-                    [
-                        l[:, None].astype(jnp.int32),
-                        u[:, None].astype(jnp.int32),
-                        (u - l)[:, None].astype(jnp.int32),
-                        complete[:, None].astype(jnp.int32),
-                        hist.astype(jnp.int32),
-                        rid, off, smp,
-                    ],
-                    axis=1,
-                )
+                cols = [
+                    l[:, None].astype(jnp.int32),
+                    u[:, None].astype(jnp.int32),
+                    (u - l)[:, None].astype(jnp.int32),
+                    complete[:, None].astype(jnp.int32),
+                    hist.astype(jnp.int32),
+                ]
+                if with_hits:
+                    cols += [rid, off, smp]
+                return jnp.concatenate(cols, axis=1)
 
             # sparse-packed serving buffer — the single-engine wire path
             # (one small transfer; dense fallbacks ride along on device)
@@ -558,6 +589,7 @@ class QueryEngine:
                 return sparse_pack_device(
                     u - l, complete, hist, rid, off, smp, nq,
                     self.COMPACT_PER_QUERY, l=l, u=u,
+                    trunc=None if with_hits else (u - l) > self.H,
                 )
 
             def _count(idx, lut, codes, lengths, use_lut, use_pair):
@@ -569,7 +601,7 @@ class QueryEngine:
                 )
 
             self._full_jit = jax.jit(
-                _full, static_argnames=("use_lut", "use_pair")
+                _full, static_argnames=("use_lut", "use_pair", "with_hits")
             )
             self._served_jit = jax.jit(
                 _served,
@@ -677,12 +709,19 @@ class QueryEngine:
             return self._unpack_single(arr, counts_only)
         return {k: np.asarray(v)[:nq] for k, v in out.items()}
 
-    def _dispatch_single(self, codes, lengths, nq: int, counts_only: bool):
+    def _dispatch_single(self, codes, lengths, nq: int, mode):
         """Dispatch the single-device query program; returns the packed
         device buffer WITHOUT blocking or transferring (MultiEngine issues
-        one of these per partition before the device-side merge)."""
+        one of these per partition before the device-side merge).
+
+        ``mode``: "count" | "hist" | "full" (True/False accepted as
+        legacy aliases for count/full)."""
         if self._doc or self._sharded:
             raise RuntimeError("raw dispatch is single-device only")
+        if mode is True:
+            mode = "count"
+        elif mode is False:
+            mode = "full"
         use_lut = bool(
             self.lut is not None and int(lengths[:nq].min()) >= self.lut_p
         ) if nq else False
@@ -692,8 +731,14 @@ class QueryEngine:
         use_pair = bool(
             self.has_pair and nq and int(lengths.min()) == codes.shape[1]
         )
-        fn = self._count_jit if counts_only else self._full_jit
-        return fn(self.index, self.lut, codes, lengths, use_lut, use_pair)
+        if mode == "count":
+            return self._count_jit(
+                self.index, self.lut, codes, lengths, use_lut, use_pair
+            )
+        return self._full_jit(
+            self.index, self.lut, codes, lengths, use_lut, use_pair,
+            with_hits=(mode == "full"),
+        )
 
     def _unpack_single(
         self, arr: np.ndarray, counts_only: bool
@@ -804,9 +849,14 @@ class QueryEngine:
             {w for w in self.cfg.small_batch_sizes if w < self.B}
             | {self.B}
         )
-        # short query (plain path) at the smallest width, full-length
-        # query (LUT/k-step path) at every width
-        for q in [["A"]] + [["A" * self.K] * w for w in widths]:
+        lengths = sorted(
+            {int(k) for k in self.cfg.warmup_query_lengths} | {self.K}
+        )
+        # short query (plain path) at the smallest width; each configured
+        # uniform length (its own column-sliced XLA shape) at every width
+        for q in [["A"]] + [
+            ["A" * k] * w for w in widths for k in lengths
+        ]:
             self.count_batch(q)
             if self._doc or self._sharded:
                 self._run(q, counts_only=False)
@@ -1027,6 +1077,7 @@ class MultiEngine:
             for i, nm in enumerate(p.sample_names):
                 if i < ns:
                     self.sample_names[i] = nm
+        _require_global_sample_space(self.partitions, self.sample_names)
         self._ns = ns
         self._merge_jit = jax.jit(
             self._merge_full, static_argnames=("with_hits",)
@@ -1053,6 +1104,7 @@ class MultiEngine:
         W = outs[0].shape[0]
         count = 0
         complete = 1
+        trunc = False
         hist = jnp.zeros((W, self._ns), dtype=jnp.int32)
         rids, offs, smps = [], [], []
         H = self.H
@@ -1066,6 +1118,11 @@ class MultiEngine:
                 rids.append(jnp.where(rid >= 0, rid + base, -1))
                 offs.append(o[:, 4 + ns_s + H : 4 + ns_s + 2 * H])
                 smps.append(o[:, 4 + ns_s + 2 * H : 4 + ns_s + 3 * H])
+            else:
+                # a follow-up hits query truncates iff some PARTITION's
+                # local count exceeds its per-query cap — computed here
+                # where per-partition counts are still visible
+                trunc = trunc | (o[:, 2] > H)
         return sparse_pack_device(
             count,
             complete,
@@ -1075,6 +1132,7 @@ class MultiEngine:
             jnp.concatenate(smps, axis=1) if with_hits else None,
             nq,
             self.COMPACT_PER_QUERY,
+            trunc=None if with_hits else trunc,
         )
 
     def warmup(self) -> None:
@@ -1087,7 +1145,12 @@ class MultiEngine:
             {w for w in self.cfg.small_batch_sizes if w < self.B}
             | {self.B}
         )
-        for kmers in [["A"]] + [["A" * self.K] * w for w in widths]:
+        lengths = sorted(
+            {int(k) for k in self.cfg.warmup_query_lengths} | {self.K}
+        )
+        for kmers in [["A"]] + [
+            ["A" * k] * w for w in widths for k in lengths
+        ]:
             self.query_batch(kmers)
             self.query_batch(kmers, include_hits=False)
             self.count_batch(kmers)
@@ -1165,10 +1228,13 @@ class MultiEngine:
         return results
 
     def _dispatch_merged(self, kmers: list[str], include_hits: bool = True):
-        """Async-dispatch all partitions + the device merge; no transfer."""
+        """Async-dispatch all partitions + the device merge; no transfer.
+        Hist-only batches run the per-partition hist program (no hit
+        resolution anywhere, not just no transfer)."""
         codes, lengths, nq = self.engines[0]._pad_encode(kmers)
+        mode = "full" if include_hits else "hist"
         outs = tuple(
-            e._dispatch_single(codes, lengths, nq, False)
+            e._dispatch_single(codes, lengths, nq, mode)
             for e in self.engines
         )
         return (
@@ -1187,8 +1253,8 @@ class MultiEngine:
         cpq = self.COMPACT_PER_QUERY
         if include_hits:
             W = (len(arr) - 2) // (2 + cpq * 6)
-        else:
-            W = (len(arr) - 1) // (2 + cpq * 2)
+        else:  # [count, complete, trunc] + hist sections
+            W = (len(arr) - 1) // (3 + cpq * 2)
         return assemble_sparse(
             kmers, nq, W, arr, NS, SH, cpq, self.sample_names,
             has_lu=False, has_hits=include_hits,

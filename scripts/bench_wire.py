@@ -118,7 +118,11 @@ def main() -> int:
     corpus = simulate.simulate_config(args.config, scale=args.scale)
     k = spec.kmer_len
 
-    cfg = ServeConfig(batch_size=args.device_batch)
+    # precompile the workload's uniform k (column-sliced shape) so no
+    # full-width XLA compile lands inside a measured request
+    cfg = ServeConfig(
+        batch_size=args.device_batch, warmup_query_lengths=(k,)
+    )
     engine = QueryEngine(packed, cfg)
     engine.warmup()
 

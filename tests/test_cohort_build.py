@@ -515,3 +515,84 @@ def test_single_engine_compact_overflow_fallback(tiny_corpus, monkeypatch):
         assert a.interval == b.interval
         assert sorted(map(key, a.hits)) == sorted(map(key, b.hits))
         assert (a.sample_hist or {}) == (b.sample_hist or {})
+
+
+def test_append_after_compaction_no_name_collision(tiny_corpus, tmp_path):
+    """Review r4: compaction can keep a high-numbered shard_XXXX dir in
+    place; later appends must not re-derive that name from the shard
+    COUNT and overwrite the kept shard."""
+    from readserver_tpu.index.cohort import append_to_cohort, compact_cohort
+    from readserver_tpu.serve import MultiEngine
+
+    reads = tiny_corpus.reads
+    path = build_cohort(reads[:120], None, 4, tmp_path / "pop")
+    compact_cohort(path, target_shards=2)
+    _, m1 = load_cohort(path)
+    kept = [d for d in m1["shards"] if d.startswith("shard_")]
+    # append twice: names must never collide with the kept shard dirs
+    append_to_cohort(path, reads[120:140])
+    append_to_cohort(path, reads[140:160])
+    parts, m2 = load_cohort(path)
+    assert len(set(m2["shards"])) == len(m2["shards"])
+    assert all(d in m2["shards"] for d in kept)
+    assert m2["num_reads"] == 160
+    assert sum(p.num_reads for p in parts) == 160
+    # the kept shard still answers (its arrays were not clobbered)
+    eng = MultiEngine(parts, ServeConfig(batch_size=16, max_hits=64))
+    km = alphabet.decode(reads[150][:15])
+    from readserver_tpu.oracle import naive_count
+
+    assert eng.query_batch([km])[0].count == naive_count(reads[:160], km)
+
+
+def test_append_explicit_config_inherits_tier_kwargs(tiny_corpus, tmp_path):
+    """Review r4: passing an explicit (identical) config must still
+    inherit the cohort's tier kwargs (sample_rate etc.)."""
+    from readserver_tpu.config import IndexConfig
+    from readserver_tpu.index.cohort import append_to_cohort
+
+    cfg = IndexConfig()
+    path = build_cohort(
+        tiny_corpus.reads[:80], None, 2, tmp_path / "pop",
+        config=cfg, sample_rate=8,
+    )
+    append_to_cohort(path, tiny_corpus.reads[80:100], config=IndexConfig())
+    _, manifest = load_cohort(path)
+    new = json.loads(
+        (path / manifest["shards"][-1] / "manifest.json").read_text()
+    )
+    assert new["sample_rate"] == 8
+
+
+def test_engines_reject_mismatched_sample_spaces(tiny_corpus):
+    """Review r4: partition merges are by sample ID — different name
+    spaces would silently sum unrelated samples; refuse at init."""
+    from readserver_tpu.serve import MultiEngine
+
+    a = build_index(tiny_corpus.reads[:40], sample_names=["donor_a"])
+    b = build_index(tiny_corpus.reads[40:80], sample_names=["donor_b"])
+    with pytest.raises(ValueError, match="GLOBAL sample-id space"):
+        MultiEngine([a, b], ServeConfig(batch_size=8))
+
+
+def test_hist_tier_truncation_flag_exact(cohort_setup):
+    """Review r4: the hist tier's hits_truncated must reflect whether a
+    follow-up hits query WOULD truncate (some partition's local count >
+    max_hits), not count > partitions*max_hits."""
+    from readserver_tpu.serve import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    cfg = ServeConfig(batch_size=16, max_hits=2)  # tiny cap → truncation
+    eng = MultiEngine(parts, cfg)
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 10, corpus.spec.kmer_len, seed=99, miss_frac=0.2
+        )
+    ]
+    full = eng.query_batch(kmers)
+    hist = eng.query_batch(kmers, include_hits=False)
+    assert any(r.hits_truncated for r in full)
+    for f, h in zip(full, hist):
+        assert f.hits_truncated == h.hits_truncated, f.kmer

@@ -140,3 +140,33 @@ def test_cli_upgrade_cohort(tiny_corpus, tmp_path):
     parts2, _ = load_cohort(path)
     for p, want in zip(parts2, ref_dsa):
         assert np.array_equal(np.asarray(p.dsa), want)
+
+
+def test_upgrade_rate_change_rewrites_all_resolve_tiers(
+    full_artifact, tmp_path
+):
+    """Review r4: changing sample_rate must rewrite EVERY resolve tier —
+    mixing mark densities makes the rate-bounded walks return garbage."""
+    corpus, src, packed = full_artifact
+    old = tmp_path / "rate"
+    _copy_artifact(src, old)
+    _strip(old, ["dsa", "fused_rows"])  # partial: lf/marks remain rate-16
+    added = upgrade_artifact(old, kstep=3, sample_rate=8)
+    # the present-but-stale tiers were rewritten too, not just the missing
+    assert {"lf", "mark_rank", "sample_pairs", "dsa", "fused_rows"} <= set(
+        added
+    )
+    up = artifact.load_artifact(old)
+    assert up.sample_rate == 8
+    ref = build_index(
+        corpus.reads, sample_ids=corpus.sample_ids, sample_rate=8, kstep=3
+    )
+    for name in ("lf", "mark_rank", "sample_pairs", "dsa", "fused_rows"):
+        assert np.array_equal(
+            np.asarray(getattr(up, name)), np.asarray(getattr(ref, name))
+        ), name
+    # manifest arrays stay duplicate-free
+    import json as _json
+
+    manifest = _json.loads((old / "manifest.json").read_text())
+    assert len(manifest["arrays"]) == len(set(manifest["arrays"]))
