@@ -39,6 +39,16 @@ CONFIGS: dict[str, CorpusSpec] = {
     "cohort": CorpusSpec(
         "cohort", 4_600_000, 6.0, 100, num_samples=128, kmer_len=31, seed=105
     ),
+    # population-scale config-5 rung: 128 samples AND >=1e9 symbols in the
+    # same artifact (BASELINE.json:11 "population-scale ... per-sample hit
+    # attribution").  30x pooled over 128 samples = 0.234x per sample, the
+    # UK10K-style low-coverage population pool; n = 10.2M reads x 101 =
+    # 1.030e9 symbols.  Sized to just clear the 1e9 bar: the artifact
+    # (~16 GB) plus the existing caches must fit this host's 53 GB free.
+    "cohort_big": CorpusSpec(
+        "cohort_big", 34_000_000, 30.0, 100, num_samples=128, kmer_len=31,
+        seed=106,
+    ),
     # tiny configs for unit tests / smoke
     "tiny": CorpusSpec("tiny", 2_000, 10.0, 50, kmer_len=11, seed=7),
     "small": CorpusSpec("small", 20_000, 15.0, 80, kmer_len=15, seed=11),
