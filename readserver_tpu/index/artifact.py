@@ -83,8 +83,13 @@ def load_artifact(path: str | Path, mmap: bool = True) -> PackedIndex:
             f"supported v{config.format_version}"
         )
     mode = "r" if mmap else None
+    # "files" maps array name → non-default filename: upgrade-in-place
+    # rewrites (e.g. a sample_rate change) write versioned files and flip
+    # this mapping atomically with the manifest, so a crash mid-rewrite
+    # can never mix old- and new-rate arrays (ADVICE r4)
+    files = manifest.get("files", {})
     arrays = {
-        name: np.load(path / f"{name}.npy", mmap_mode=mode)
+        name: np.load(path / files.get(name, f"{name}.npy"), mmap_mode=mode)
         for name in manifest["arrays"]
     }
     return PackedIndex(

@@ -12,9 +12,12 @@ builder emits is derivable from the base arrays alone —
 * the k-step search planes are functions of (BWT, LF).
 
 ``upgrade_artifact`` computes exactly the missing arrays, writes only
-those files, and atomically extends the manifest — existing arrays are
-untouched, and the result is bit-identical to a from-scratch build at
-the same config (tested in ``tests/test_upgrade.py``).
+those files, and atomically extends the manifest; a sample_rate-change
+rewrite goes to rate-versioned filenames flipped via the manifest's
+"files" mapping, so at EVERY crash point the live artifact is either
+fully old-rate or fully new-rate — never a mix.  The result is
+bit-identical to a from-scratch build at the same config (tested in
+``tests/test_upgrade.py``).
 """
 
 from __future__ import annotations
@@ -137,16 +140,45 @@ def upgrade_artifact(
         new["C3"] = packing.kgram_starts(rank_blocks, C, config, 3)
         del triple
 
-    # write only the new arrays, then atomically extend the manifest —
-    # a crash mid-upgrade leaves the original artifact fully valid
+    # Crash safety (ADVICE r4, medium): additive arrays are unreferenced
+    # until the manifest flips, so they write to their default filenames
+    # directly.  REWRITES of live arrays (the sample_rate-change path)
+    # must never overwrite the referenced file — mark sign bits at the
+    # new rate next to mark_rank/sample_pairs at the old rate is exactly
+    # the mixed-density garbage-hits state the module warns about, and it
+    # is undetectable at load time.  They write to rate-versioned files
+    # and the manifest's "files" mapping flips to them atomically with
+    # the manifest rename; the superseded files are deleted only after.
+    files: dict[str, str] = dict(manifest.get("files", {}))
+    present = set(manifest["arrays"])
+    stale: list[Path] = []
     for name, arr in new.items():
-        np.save(path / f"{name}.npy", arr)
+        if name in present:
+            fname = f"{name}.r{rate}.npy"
+            old = files.get(name, f"{name}.npy")
+            if old == fname:  # same versioned name: write aside + rename
+                tmp_a = path / (fname + ".tmp.npy")
+                np.save(tmp_a, arr)
+                tmp_a.rename(path / fname)
+                continue
+            np.save(path / fname, arr)
+            files[name] = fname
+            stale.append(path / old)
+        else:
+            np.save(path / f"{name}.npy", arr)
     # dedupe: a rate-change rewrite touches arrays already listed
     manifest["arrays"] = list(
         dict.fromkeys(list(manifest["arrays"]) + sorted(new))
     )
+    if files:
+        manifest["files"] = files
     manifest.update(meta_updates)
     tmp = path / (artifact.MANIFEST_NAME + ".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
     tmp.rename(path / artifact.MANIFEST_NAME)
+    for p in stale:  # best-effort space reclaim, post-flip
+        try:
+            p.unlink()
+        except OSError:
+            pass
     return sorted(new)

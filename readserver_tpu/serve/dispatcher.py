@@ -152,7 +152,12 @@ class Dispatcher:
         Returns ``(kmers, mode, [(block, block_offset, n), ...])``.
         A large block spans several device batches; its future resolves
         when the last slice lands.  The batch runs the strongest answer
-        tier any of its blocks needs."""
+        tier any of its blocks needs — an accepted simplicity trade-off
+        (ADVICE r4): under mixed load a /count stream co-batched with
+        /reads traffic pays full-resolution cost for those windows.  If
+        count-path latency ever regresses under mixed load, drain
+        same-tier blocks into a batch first instead of promoting; answers
+        are unaffected either way (stronger tiers are supersets)."""
         kmers: list[str] = []
         slices: list[tuple[_Block, int, int]] = []
         mode = "count"

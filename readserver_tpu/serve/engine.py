@@ -126,24 +126,31 @@ def _compact_cols(mask, cols, R):
 
 def sparse_pack_device(
     count, complete, hist, rid, off, smp, nq, cpq, l=None, u=None,
-    trunc=None,
+    trunc=None, count_hi=None,
 ):
     """Device-side sparse pack of a query batch's answers into ONE small
     int32 buffer (the tunneled chip moves host traffic at ~15 MB/s, so
     transferred bytes ARE the serving latency):
 
-      [count(W), complete(W), (l(W), u(W))?,
+      [count(W), count_hi(W)?, complete(W), (l(W), u(W))?,
        n_hist, hist_idx(R), hist_val(R),
        (n_hits, hit_idx(R), read_id(R), offset(R), sample(R))?]
 
     ``rid=None`` packs a histogram-only answer (the /samples wire shape —
-    no hit resolution shipped at all).  Returns ``(packed, hist,
-    dense_hits)`` — the dense device tensors back the rare overflow case
-    (n == -1), transferred only when actually needed."""
+    no hit resolution shipped at all).  ``count_hi`` carries bits 31+ of
+    an int64 cross-partition count sum as a second int32 lane (per-
+    partition counts fit int32 — each partition's n < 2^31 — but their
+    sum over a cohort's partitions need not; ADVICE r4).  Returns
+    ``(packed, hist, dense_hits)`` — the dense device tensors back the
+    rare overflow case (n == -1), transferred only when actually
+    needed."""
     W = count.shape[0]
     R = cpq * W
     one = lambda x: x[None].astype(jnp.int32)
-    segs = [count.astype(jnp.int32), complete.astype(jnp.int32)]
+    segs = [count.astype(jnp.int32)]
+    if count_hi is not None:
+        segs.append(count_hi.astype(jnp.int32))
+    segs.append(complete.astype(jnp.int32))
     if trunc is not None:
         # hist-only tier: whether a follow-up hits query would truncate
         # (computed exactly where per-partition counts are still visible)
@@ -190,12 +197,17 @@ def assemble_sparse(
     has_hits,
     dense_hist_dev,
     dense_hits_dev,
+    has_count_hi=False,
 ) -> list[QueryResult]:
     """Host-side assembly of the sparse packed buffer → QueryResults."""
     R = cpq * W
-    count_m = arr[:W]
-    complete_m = arr[W : 2 * W].astype(bool)
-    p = 2 * W
+    p = W
+    count_m = arr[:W].astype(np.int64)
+    if has_count_hi:  # recombine the int64 cross-partition count sum
+        count_m = count_m + (arr[p : p + W].astype(np.int64) << 31)
+        p += W
+    complete_m = arr[p : p + W].astype(bool)
+    p += W
     trunc_m = None
     if not has_hits:  # hist tier packs the exact truncation flag instead
         trunc_m = arr[p : p + W].astype(bool)
@@ -586,6 +598,9 @@ class QueryEngine:
                 l, u, hist, complete, rid, off, smp = _pieces(
                     idx, lut, codes, lengths, use_lut, use_pair, with_hits
                 )
+                # hist-tier trunc flag reflects the per-query hit cap
+                # ONLY (not resolve_intervals' whole-batch row budget) —
+                # see the MultiEngine merge for the contract note
                 return sparse_pack_device(
                     u - l, complete, hist, rid, off, smp, nq,
                     self.COMPACT_PER_QUERY, l=l, u=u,
@@ -1082,8 +1097,11 @@ class MultiEngine:
         self._merge_jit = jax.jit(
             self._merge_full, static_argnames=("with_hits",)
         )
+        # int64 accumulation: per-partition counts fit int32, the cohort
+        # sum need not (ADVICE r4 medium — a 1-mer on a >2^31-symbol
+        # cohort must not wrap negative)
         self._merge_count_jit = jax.jit(
-            lambda outs: sum(o[:, 2] for o in outs)
+            lambda outs: sum(o[:, 2].astype(jnp.int64) for o in outs)
         )
 
     # see module-level COMPACT_PER_QUERY; class attribute so tests can
@@ -1110,7 +1128,9 @@ class MultiEngine:
         H = self.H
         for e, o, base in zip(self.engines, outs, self._read_base):
             ns_s = e._ns
-            count = count + o[:, 2]
+            # int64: the cross-partition sum can exceed int32 even though
+            # every per-partition count fits it (ADVICE r4 medium)
+            count = count + o[:, 2].astype(jnp.int64)
             complete = complete * o[:, 3]
             hist = hist.at[:, :ns_s].add(o[:, 4 : 4 + ns_s])
             if with_hits:
@@ -1121,10 +1141,16 @@ class MultiEngine:
             else:
                 # a follow-up hits query truncates iff some PARTITION's
                 # local count exceeds its per-query cap — computed here
-                # where per-partition counts are still visible
+                # where per-partition counts are still visible.  NOTE
+                # (contract, ADVICE r4): this flag reflects the per-query
+                # hit cap ONLY; a follow-up /reads on a batch dense
+                # enough to trip resolve_intervals' whole-batch row
+                # budget (resolve_budget_frac) can still return fewer
+                # than ``count`` hits with this flag False — the full
+                # tier's own ``count > len(hits)`` flag stays exact.
                 trunc = trunc | (o[:, 2] > H)
         return sparse_pack_device(
-            count,
+            count & jnp.int64(0x7FFFFFFF),
             complete,
             hist,
             jnp.concatenate(rids, axis=1) if with_hits else None,
@@ -1133,6 +1159,7 @@ class MultiEngine:
             nq,
             self.COMPACT_PER_QUERY,
             trunc=None if with_hits else trunc,
+            count_hi=count >> 31,
         )
 
     def warmup(self) -> None:
@@ -1251,14 +1278,15 @@ class MultiEngine:
         arr = np.asarray(packed_dev)  # the one (small) transfer
         NS, SH = self._ns, len(self.engines) * self.H
         cpq = self.COMPACT_PER_QUERY
-        if include_hits:
-            W = (len(arr) - 2) // (2 + cpq * 6)
-        else:  # [count, complete, trunc] + hist sections
-            W = (len(arr) - 1) // (3 + cpq * 2)
+        if include_hits:  # [count, count_hi, complete] + hist + hits
+            W = (len(arr) - 2) // (3 + cpq * 6)
+        else:  # [count, count_hi, complete, trunc] + hist sections
+            W = (len(arr) - 1) // (4 + cpq * 2)
         return assemble_sparse(
             kmers, nq, W, arr, NS, SH, cpq, self.sample_names,
             has_lu=False, has_hits=include_hits,
             dense_hist_dev=dense_hist_dev, dense_hits_dev=dense_hits_dev,
+            has_count_hi=True,
         )
 
     def read_sequence(self, read_id: int) -> str:

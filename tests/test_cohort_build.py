@@ -596,3 +596,43 @@ def test_hist_tier_truncation_flag_exact(cohort_setup):
     assert any(r.hits_truncated for r in full)
     for f, h in zip(full, hist):
         assert f.hits_truncated == h.hits_truncated, f.kmer
+
+
+def test_merged_count_int64_no_wrap(cohort_setup):
+    """ADVICE r4 (medium): cross-partition counts accumulate in int64.
+
+    Per-partition counts are guaranteed to fit int32 (each partition's
+    n < 2^31) but their sum is not; feed the device merge synthetic
+    per-partition buffers whose counts sum past 2^31 and require the
+    assembled total to come back exact, not wrapped negative."""
+    import numpy as np
+
+    from readserver_tpu.serve import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    cfg = ServeConfig(batch_size=8, max_hits=4)
+    eng = MultiEngine(parts, cfg)
+    W, H, nq = 8, cfg.max_hits, 3
+    big = 2**31 - 5
+    outs = []
+    for e in eng.engines:
+        ns = e._ns
+        o = np.zeros((W, 4 + ns + 3 * H), dtype=np.int32)
+        o[:, 2] = big          # per-partition count (fits int32)
+        o[:, 3] = 1            # complete
+        o[:, 4 : 4 + ns + 3 * H][:, ns:] = -1  # no hits
+        outs.append(o)
+    want = big * len(eng.engines)
+    assert want > 2**31  # the test is vacuous otherwise
+
+    # count tier
+    counts = np.asarray(eng._merge_count_jit(tuple(outs)))
+    assert counts.dtype == np.int64 and int(counts[0]) == want
+
+    # full + hist tiers through the packed merge and host assembly
+    kmers = ["A" * corpus.spec.kmer_len] * nq
+    for with_hits in (True, False):
+        merged = eng._merge_jit(tuple(outs), np.int32(nq), with_hits=with_hits)
+        res = eng._assemble_merged(kmers, nq, with_hits, merged)
+        assert all(r.count == want for r in res), [r.count for r in res]

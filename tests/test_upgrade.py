@@ -170,3 +170,58 @@ def test_upgrade_rate_change_rewrites_all_resolve_tiers(
 
     manifest = _json.loads((old / "manifest.json").read_text())
     assert len(manifest["arrays"]) == len(set(manifest["arrays"]))
+
+
+def test_rate_change_crash_leaves_artifact_valid(
+    full_artifact, tmp_path, monkeypatch
+):
+    """ADVICE r4 (medium): a crash mid-way through a sample_rate-change
+    rewrite must leave the ORIGINAL artifact fully intact — rewrites go
+    to rate-versioned files flipped via the atomic manifest update, so
+    mixed-density resolve tiers are impossible at any crash point."""
+    corpus, src, packed = full_artifact
+    old = tmp_path / "crash"
+    _copy_artifact(src, old)
+    resolve = ("lf", "mark_rank", "sample_pairs", "dsa", "fused_rows")
+    before = {
+        name: np.asarray(getattr(artifact.load_artifact(old), name)).copy()
+        for name in resolve
+    }
+
+    calls = {"n": 0}
+    real_save = np.save
+
+    def bomb(f, arr, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 3:  # die after a couple of rewritten arrays
+            raise RuntimeError("simulated crash")
+        return real_save(f, arr, *a, **kw)
+
+    monkeypatch.setattr(np, "save", bomb)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upgrade_artifact(old, kstep=3, sample_rate=8)
+    monkeypatch.setattr(np, "save", real_save)
+
+    # the live artifact is byte-identical to pre-crash: old rate, old tiers
+    up = artifact.load_artifact(old)
+    assert up.sample_rate == 16
+    for name in resolve:
+        assert np.array_equal(np.asarray(getattr(up, name)), before[name]), name
+
+    # a re-run completes and matches a fresh rate-8 build bit-for-bit
+    upgrade_artifact(old, kstep=3, sample_rate=8)
+    up2 = artifact.load_artifact(old)
+    ref = build_index(
+        corpus.reads, sample_ids=corpus.sample_ids, sample_rate=8, kstep=3
+    )
+    assert up2.sample_rate == 8
+    for name in resolve:
+        assert np.array_equal(
+            np.asarray(getattr(up2, name)), np.asarray(getattr(ref, name))
+        ), name
+    # superseded default-named files were reclaimed post-flip
+    manifest = json.loads((old / artifact.MANIFEST_NAME).read_text())
+    for name, fname in manifest.get("files", {}).items():
+        assert (old / fname).exists()
+        assert fname != f"{name}.npy"
+        assert not (old / f"{name}.npy").exists(), name
