@@ -158,9 +158,17 @@ def main() -> int:
         args.config = pick_auto_config()
         print(f"# auto config -> {args.config}", file=sys.stderr)
     packed, spec = get_packed(args.config, args.scale)
-    # rebuild corpus cheaply for query sampling (reads derive from the seed)
-    corpus = simulate.simulate_config(args.config, scale=args.scale)
     k = spec.kmer_len
+    corpus = None  # simulated lazily — the query pool is cached on disk
+
+    def get_corpus():
+        nonlocal corpus
+        if corpus is None:
+            t = time.time()
+            corpus = simulate.simulate_config(args.config, scale=args.scale)
+            print(f"# corpus re-simulated in {time.time()-t:.0f}s",
+                  file=sys.stderr)
+        return corpus
 
     def mark(msg):
         print(f"# [{time.time()-T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
@@ -188,18 +196,71 @@ def main() -> int:
         f"index on device ({plan.total_bytes/2**30:.2f} GiB; "
         f"tiers kept={sorted(plan.keep)} dropped={list(plan.dropped)})"
     )
+
+    # start the axon relay claim NOW: the first device→host transfer in a
+    # process blocks 2–5 min on the relay handshake (environment
+    # pathology — VERDICT r4 weak #6: 989 s of the chr20 bench's 1030 s
+    # wall was pre-warmup).  A tiny transfer on a side thread overlaps
+    # that wait with LUT/query/batch staging below instead of serializing
+    # it into the first measured-path transfer.
+    import threading
+
+    def _claim():
+        try:
+            t = time.time()
+            np.asarray(index.C)
+            mark(f"relay claim done (background, {time.time()-t:.0f}s)")
+        except Exception as e:  # claim is opportunistic, never fatal
+            print(f"# relay claim thread: {e}", file=sys.stderr)
+
+    claim_thread = threading.Thread(target=_claim, daemon=True)
+    claim_thread.start()
+
     p = default_lut_order(packed.n) if args.lut_order < 0 else args.lut_order
     p = min(p, k)
-    t0 = time.time()
-    lut = build_prefix_lut(index, p) if p else None
-    if lut is not None:
-        jax.block_until_ready(lut)
-        print(f"# prefix LUT p={p} built in {time.time()-t0:.1f}s",
-              file=sys.stderr)
+    cache_dir = bench_cache(args.config, args.scale)
+    lut = None
+    if p:
+        # the LUT is a pure function of (BWT, p): persist the first build
+        # next to the artifact (134 MB at p=12, ~1.5 s to re-stage vs
+        # ~18 s + device ranks to rebuild — VERDICT r4 #8)
+        lut_f = cache_dir / f"lut_p{p}.npy"
+        t0 = time.time()
+        if lut_f.exists():
+            lut = jax.device_put(np.load(lut_f, mmap_mode="r"))
+            jax.block_until_ready(lut)
+            print(f"# prefix LUT p={p} staged from cache in "
+                  f"{time.time()-t0:.1f}s", file=sys.stderr)
+        else:
+            lut = build_prefix_lut(index, p)
+            jax.block_until_ready(lut)
+            print(f"# prefix LUT p={p} built in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            if cache_dir.is_dir():
+                tmp = cache_dir / (lut_f.name + ".tmp.npy")
+                np.save(tmp, np.asarray(lut))
+                tmp.rename(lut_f)
     B, R = args.batch, args.iters
-    kmers = simulate.sample_query_kmers_fast(
-        corpus, B * (R + args.warmup), k, seed=1, miss_frac=0.1
-    ).astype(np.int32)
+    need = B * (R + args.warmup)
+    # query pool cache: sampling needs the corpus, and re-simulating chr20
+    # costs minutes per bench run; the pool derives deterministically from
+    # the corpus seed, so cache it beside the artifact (uint8, ~160 MB)
+    qcache = cache_dir / "bench_queries_s1.npy"
+    kmers = None
+    if qcache.exists():
+        pool = np.load(qcache, mmap_mode="r")
+        if pool.shape[1] == k and len(pool) >= need:
+            kmers = np.asarray(pool[:need]).astype(np.int32)
+            mark(f"{need} queries staged from pool cache")
+    if kmers is None:
+        kmers = simulate.sample_query_kmers_fast(
+            get_corpus(), need, k, seed=1, miss_frac=0.1
+        )
+        if cache_dir.is_dir():  # (re)write: an undersized pool never hits
+            tmp = cache_dir / (qcache.name + ".tmp.npy")
+            np.save(tmp, kmers.astype(np.uint8))
+            tmp.rename(qcache)
+        kmers = kmers.astype(np.int32)
     # parity cache (written at build time): splice the cached oracle
     # queries into batch 0's head so the count check needs no in-situ
     # window-multiset sort (minutes at ecoli scale, ~45min at chr20)
@@ -282,7 +343,7 @@ def main() -> int:
             nq = min(args.parity_queries, B)
             from readserver_tpu.oracle.naive import window_multiset_counts
 
-            mat = np.stack(corpus.reads)
+            mat = np.stack(get_corpus().reads)
             rng = np.random.default_rng(7)
             sel = np.sort(rng.choice(B, size=nq, replace=False))
             want = window_multiset_counts(mat, kmers[sel].astype(np.uint8))

@@ -19,12 +19,20 @@ import time
 
 
 def _ingest_file(args) -> tuple[list, list]:
-    """FASTA/FASTQ ingest (trim → N-split → min-len) → (reads, names)."""
+    """FASTA/FASTQ/BAM ingest (trim → N-split → min-len) → (reads, names)."""
     from readserver_tpu.corpus import io as cio
 
     reads = []
     read_names = []
-    if args.fastq:
+    if getattr(args, "bam", None):
+        from readserver_tpu.corpus import bam as cbam
+
+        records = (
+            (name, seq[: cio.mott_trim_len(quals, args.qual_trim)]
+             if (args.qual_trim > 0 and quals is not None) else seq)
+            for name, seq, quals in cbam.read_bam(args.bam)
+        )
+    elif args.fastq:
         records = (
             (name, seq[: cio.mott_trim_len(quals, args.qual_trim)]
              if args.qual_trim > 0 else seq)
@@ -50,7 +58,7 @@ def cmd_build(args) -> int:
     sample_ids = None
     sample_names = None
     read_names = None
-    if args.fastq or args.fasta:
+    if args.fastq or args.fasta or args.bam:
         reads, read_names = _ingest_file(args)
     else:
         from readserver_tpu.corpus import simulate
@@ -110,7 +118,7 @@ def cmd_append(args) -> int:
         )
         return 2
     t0 = time.time()
-    if args.fastq or args.fasta:
+    if args.fastq or args.fasta or args.bam:
         reads, read_names = _ingest_file(args)
     else:
         from readserver_tpu.corpus import simulate
@@ -395,6 +403,8 @@ def main(argv=None) -> int:
     b.add_argument("--scale", type=float, default=1.0)
     b.add_argument("--fastq", help="build from a FASTQ file instead")
     b.add_argument("--fasta", help="build from a FASTA file instead")
+    b.add_argument("--bam", help="build from a BAM file instead "
+                   "(primary records; reverse-strand un-flipped)")
     b.add_argument("--min-len", type=int, default=20)
     b.add_argument("--qual-trim", type=int, default=0,
                    help="Mott-style 3' quality trim threshold for FASTQ "
@@ -415,6 +425,7 @@ def main(argv=None) -> int:
     ab.add_argument("cohort", help="existing cohort artifact directory")
     ab.add_argument("--fastq")
     ab.add_argument("--fasta")
+    ab.add_argument("--bam")
     ab.add_argument("--config", default="tiny",
                     help="simulated config (when no file given)")
     ab.add_argument("--scale", type=float, default=1.0)

