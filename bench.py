@@ -504,6 +504,8 @@ def main() -> int:
         ("BENCH_scaling.json", "value", "multihost_scaling_efficiency"),
         ("BENCH_wg.json", "value", "wg_sharded_queries_per_s"),
         ("BENCH_cohort.json", "value", "cohort_attribution_queries_per_s"),
+        ("BENCH_cohort_big.json", "value",
+         "cohort_big_attribution_queries_per_s"),
         ("BENCH_wire.json", "count_qps", "served_wire_qps"),
     ):
         f = REPO / fname

@@ -115,7 +115,6 @@ def main() -> int:
     if args.config == "auto":
         args.config = pick_auto_config()
     packed, spec = get_packed(args.config, args.scale)
-    corpus = simulate.simulate_config(args.config, scale=args.scale)
     k = spec.kmer_len
 
     # precompile the workload's uniform k (column-sliced shape) so no
@@ -127,9 +126,20 @@ def main() -> int:
     engine.warmup()
 
     total_kmers = args.clients * args.requests_per_client * args.request_kmers
-    kms = simulate.sample_query_kmers_fast(
-        corpus, total_kmers, k, seed=3, miss_frac=0.1
-    )
+    # query source: the bench query-pool cache when present (chr20
+    # re-simulation costs minutes per run), else simulate
+    from bench import bench_cache
+
+    qcache = bench_cache(args.config, args.scale) / "bench_queries_s1.npy"
+    if qcache.exists():
+        pool = np.load(qcache, mmap_mode="r")
+        kms = np.asarray(pool[np.arange(total_kmers) % len(pool)])
+        print(f"# {total_kmers} queries from pool cache", file=sys.stderr)
+    else:
+        corpus = simulate.simulate_config(args.config, scale=args.scale)
+        kms = simulate.sample_query_kmers_fast(
+            corpus, total_kmers, k, seed=3, miss_frac=0.1
+        )
     strings = ["".join(alphabet.decode(km)) for km in np.asarray(kms)]
 
     port = _free_port()
@@ -161,6 +171,7 @@ def main() -> int:
         if errs:
             print(json.dumps({"error": f"warmup {mode}: {errs[0]}"}))
             return 1
+        pack_before = dict(getattr(engine, "pack_stats", {}) or {})
         latencies: list[tuple[int, float]] = []
         counts: list[int] = []
         threads = [
@@ -198,6 +209,26 @@ def main() -> int:
                 float(np.percentile(steady, 95)) * 1e3, 2
             )
         result[f"{mode}_queries"] = served
+        pack = dict(getattr(engine, "pack_stats", {}) or {})
+        if pack:
+            # sparse-pack overflow accounting for THIS mode's run
+            # (VERDICT r4 weak #4: how often does /samples spill to the
+            # dense fallback, and how many bytes actually moved)
+            delta = {
+                kk: pack.get(kk, 0) - pack_before.get(kk, 0) for kk in pack
+            }
+            nb = max(delta.get("batches", 0), 1)
+            result[f"{mode}_pack_batches"] = delta.get("batches", 0)
+            result[f"{mode}_dense_fallback_rate"] = round(
+                (delta.get("hist_dense_fallbacks", 0)
+                 + delta.get("hits_dense_fallbacks", 0)) / nb, 4
+            )
+            result[f"{mode}_sparse_mib"] = round(
+                delta.get("sparse_bytes", 0) / 2**20, 2
+            )
+            result[f"{mode}_dense_mib"] = round(
+                delta.get("dense_bytes", 0) / 2**20, 2
+            )
     result["value"] = result.get("count_qps", 0)
     # vs device-side search throughput: the dispatcher+JSON overhead factor
     (REPO / "BENCH_wire.json").write_text(json.dumps(result, indent=2))
