@@ -184,12 +184,11 @@ def main() -> int:
         if args.hbm_budget_gb > 0
         else device_budget_bytes()
     )
-    plan = plan_tiers(packed, budget)
-    if args.drop_tiers:
-        import dataclasses
-
-        forced = {t.strip() for t in args.drop_tiers.split(",") if t.strip()}
-        plan = dataclasses.replace(plan, keep=plan.keep - forced)
+    forced = {t.strip() for t in args.drop_tiers.split(",") if t.strip()}
+    # exclude-before-planning: the freed budget reallocates to later
+    # tiers (--drop-tiers rank2 at chr20 yields the dsa-resident
+    # resolve-optimized profile, not just a rank2-less one)
+    plan = plan_tiers(packed, budget, exclude=forced)
     index = DeviceIndex.from_packed(packed, tiers=plan.keep)
     jax.block_until_ready(index.rank_rows)
     mark(

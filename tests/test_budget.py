@@ -178,3 +178,42 @@ def test_tier_order_is_exhaustive():
     from readserver_tpu.index.budget import _TIER_ARRAYS
 
     assert set(TIER_ORDER) == set(_TIER_ARRAYS)
+
+
+def test_exclude_reallocates_budget(packed):
+    """plan_tiers(exclude=...) frees the excluded tier's budget for later
+    tiers: at a budget sized for exactly {rank2, marks}, excluding rank2
+    must make the better resolve tiers (dsa/fused) resident instead of
+    just shrinking the plan (the wg serving-profile lever)."""
+    from readserver_tpu.index.budget import plan_tiers, tier_bytes
+
+    base, tiers = tier_bytes(packed)
+    budget = base + tiers["rank2"] + tiers["marks"]
+    default = plan_tiers(packed, budget)
+    assert "rank2" in default.keep
+    resolve_profile = plan_tiers(packed, budget, exclude=("rank2",))
+    assert "rank2" not in resolve_profile.keep
+    assert "dsa" in resolve_profile.keep  # freed budget reallocated
+    assert resolve_profile.total_bytes <= budget
+
+
+def test_serve_config_drop_tiers_profile(packed, tiny_corpus):
+    """ServeConfig.drop_tiers flows through to the engine plan and the
+    answers stay identical (tiers only change gather counts)."""
+    from readserver_tpu.config import ServeConfig
+    from readserver_tpu.corpus import simulate
+    from readserver_tpu.serve import QueryEngine
+
+    eng_a = QueryEngine(packed, ServeConfig(batch_size=32))
+    eng_b = QueryEngine(
+        packed, ServeConfig(batch_size=32, drop_tiers=("rank2", "rank3"))
+    )
+    assert "rank2" not in eng_b.tier_plan.keep
+    k = tiny_corpus.spec.kmer_len
+    kmers = [
+        "".join("ACGT"[c - 1] for c in km)
+        for km in simulate.sample_query_kmers(tiny_corpus, 24, k, seed=9)
+    ]
+    for x, y in zip(eng_a.query_batch(kmers), eng_b.query_batch(kmers)):
+        assert x.count == y.count
+        assert x.sample_hist == y.sample_hist
