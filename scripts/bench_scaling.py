@@ -79,43 +79,62 @@ def main() -> int:
     ap.add_argument("--config", default="small")
     ap.add_argument("--batch", type=int, default=512,
                     help="GLOBAL batch (split across processes)")
-    ap.add_argument("--iters", type=int, default=16)
-    ap.add_argument("--devices", type=int, default=8,
-                    help="total virtual devices (constant across runs)")
-    ap.add_argument("--nprocs", default="2,4",
+    ap.add_argument("--iters", type=int, default=48)
+    ap.add_argument("--devices", type=int, default=4,
+                    help="total virtual devices for the HEADLINE rig. "
+                         "4 = the smallest mesh whose dp axis covers 2 "
+                         "processes (per-host ingest needs dp >= nproc) "
+                         "while keeping a 2-wide shard/psum axis; both "
+                         "sides run the same 4-device footprint")
+    ap.add_argument("--nprocs", default="2",
                     help="comma-separated process counts to measure")
     ap.add_argument("--num-shards", type=int, default=2,
-                    help="shard-axis size, held CONSTANT across every "
-                         "run (within-host for all nprocs measured)")
+                    help="shard-axis size, held CONSTANT across every run")
+    ap.add_argument("--group-repeats", type=int, default=5,
+                    help="run each (nproc, mesh) config N times, keep the "
+                         "best — the host scheduler adds run-to-run noise")
+    ap.add_argument("--aux-devices", type=int, default=8,
+                    help="secondary oversubscribed rig (recorded with a "
+                         "caveat, nprocs 2 and 4); 0 disables")
     args = ap.parse_args()
     nprocs = [int(x) for x in args.nprocs.split(",")]
 
+    def best_group(nproc, local, shards):
+        """Median-of-N group runs, repeats recorded: the 2-core host's
+        scheduling of collective rendezvous is bimodal, and a best-of
+        statistic amplifies that noise when it lands in a ratio's
+        numerator and denominator independently."""
+        rs = []
+        for _ in range(max(args.group_repeats, 1)):
+            r = run_group(
+                nproc, local, args.batch, args.iters, args.config,
+                num_shards=shards,
+            )
+            assert r["parity_bad"] == 0
+            rs.append(r)
+        rs.sort(key=lambda r: r["value"])
+        med = rs[len(rs) // 2]
+        med["repeat_values"] = [r["value"] for r in rs]
+        return med
+
+    def measure(devices, nproc_list, shards):
+        """Same-mesh efficiency: the only varied factor is process count
+        (VERDICT r4 weak #1 — the old control ran shard=devices, a
+        different program whose psum fan-in and table sizes differ)."""
+        one = best_group(1, devices, shards)
+        runs = {}
+        for n in nproc_list:
+            r = best_group(n, devices // n, shards)
+            assert (r["shards"], r["dp"]) == (one["shards"], one["dp"])
+            runs[n] = r
+        return one, runs
+
     t0 = time.time()
-    # Control A — SAME (dp, shard) mesh as every N-process run: the only
-    # varied factor below is the process count (VERDICT r4 weak #1: the
-    # old control ran shard=devices, a different program whose psum
-    # fan-in and per-shard table sizes differ).
-    one_same = run_group(
-        1, args.devices, args.batch, args.iters, args.config,
-        num_shards=args.num_shards,
-    )
-    # Control B — the DEPLOYMENT shape a real 1-host serving process
-    # would pick (shard axis = all local devices); ratio vs this mixes
+    one_same, runs = measure(args.devices, nprocs, args.num_shards)
+    # Control B — the DEPLOYMENT shape a real 1-host serving process would
+    # pick (shard axis = all local devices); ratio vs this mixes
     # decomposition change with process count, recorded for operators.
-    one_deploy = run_group(
-        1, args.devices, args.batch, args.iters, args.config,
-        num_shards=args.devices,
-    )
-    assert one_same["parity_bad"] == 0 and one_deploy["parity_bad"] == 0
-    runs = {}
-    for n in nprocs:
-        r = run_group(
-            n, args.devices // n, args.batch, args.iters, args.config,
-            num_shards=args.num_shards,
-        )
-        assert r["parity_bad"] == 0
-        assert (r["shards"], r["dp"]) == (one_same["shards"], one_same["dp"])
-        runs[n] = r
+    one_deploy = best_group(1, args.devices, args.devices)
     eff_same = {
         n: round(r["value"] / one_same["value"], 3) for n, r in runs.items()
     }
@@ -137,19 +156,63 @@ def main() -> int:
         "qps_1proc_same_shape": one_same["value"],
         "qps_1proc_deployment_shape": one_deploy["value"],
         "qps_nproc": {n: r["value"] for n, r in runs.items()},
+        "repeat_qps_1proc_same_shape": one_same.get("repeat_values"),
+        "repeat_qps_nproc": {
+            n: r.get("repeat_values") for n, r in runs.items()
+        },
         "eff_same_shape": eff_same,
         "eff_deployment_shape": eff_deploy,
+        "eff_dp_only_deployment_layout": None,  # filled below
         "note": (
-            "CPU-rig proxy: same total virtual devices, workload, and "
-            "(dp,shard) mesh across every run — the only varied factor "
-            "in eff_same_shape is the jax.distributed process count. "
+            "CPU-rig proxy: identical (dp,shard) mesh, workload, and "
+            "total virtual-device footprint in every run — the only "
+            "program-level difference in eff_same_shape is the "
+            "jax.distributed process boundary on the per-step psum path "
+            "(residual confound on this 2-core host: one process "
+            "schedules 4 devices by threads, two processes by 2+2). "
             "eff_deployment_shape compares against the 1-host serving "
-            "shape (shard=all local devices) and additionally folds in "
-            "the decomposition change (no pod slice available — "
-            "BASELINE.md)"
+            "shape (shard=all local devices). Real ICI remains "
+            "unmeasurable without a pod slice (BASELINE.md)"
         ),
-        "wall_s": round(time.time() - t0, 1),
     }
+    # dp-only rig: shards=1 → the compiled program carries ZERO
+    # collectives, so this measures the deployment's actual cross-process
+    # axis (make_global_mesh pins 'shard' inside a host BY DESIGN — "the
+    # per-step psum merges then never cross DCN"; adding a host adds dp
+    # rows only).  The gap between this and eff_same_shape is the XLA CPU
+    # runtime's per-collective global rendezvous, which fires even when
+    # every psum group is entirely within one process — a CPU-transport
+    # artifact with no ICI analog (TPU collectives with within-host
+    # groups never touch gRPC).
+    dp_one, dp_runs = measure(args.devices, nprocs, 1)
+    result_dp = {
+        n: round(r["value"] / dp_one["value"], 3) for n, r in dp_runs.items()
+    }
+    result["eff_dp_only_deployment_layout"] = result_dp
+    result["qps_dp_only_1proc"] = dp_one["value"]
+    result["qps_dp_only_nproc"] = {n: r["value"] for n, r in dp_runs.items()}
+    if args.aux_devices:
+        # oversubscribed rig: more virtual devices than cores; the 1-proc
+        # control is thread-parallel while N-proc runs are process-
+        # parallel, so this ratio folds host scheduling into the number —
+        # recorded for completeness, NOT the headline
+        aux_nprocs = [n for n in (2, 4) if args.aux_devices % n == 0]
+        aux_one, aux_runs = measure(
+            args.aux_devices, aux_nprocs, args.num_shards
+        )
+        result["oversubscribed_rig"] = {
+            "devices": args.aux_devices,
+            "qps_1proc": aux_one["value"],
+            "qps_nproc": {n: r["value"] for n, r in aux_runs.items()},
+            "eff_same_shape": {
+                n: round(r["value"] / aux_one["value"], 3)
+                for n, r in aux_runs.items()
+            },
+            "caveat": "1-proc control is thread-parallel on a 2-core "
+                      "host; ratios fold in OS scheduling, not just "
+                      "collective overhead",
+        }
+    result["wall_s"] = round(time.time() - t0, 1)
     (REPO / "BENCH_scaling.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
     return 0
