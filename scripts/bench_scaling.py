@@ -64,7 +64,15 @@ def run_group(
         )
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        # never orphan a group: a stuck member would keep the
+        # jax.distributed coordinator port and CPU forever (killed by
+        # exact PID — these are OUR children, never a pattern match)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         if p.returncode != 0:
             raise RuntimeError(f"group member failed:\n{out[-2000:]}")
