@@ -155,6 +155,12 @@ def main() -> int:
         sum(r.sample_hist_complete for r in res_hot) / B, 3
     )
     cap = B // 8
+    # free the main engine's HBM first: two resident MultiEngines at this
+    # scale (2 x 4 x 2.37 GiB + LUTs + workspace) exhaust the chip
+    del eng
+    import gc
+
+    gc.collect()
     eng_cap = MultiEngine(parts, ServeConfig(
         batch_size=B, max_hits=64, max_sweep_rows=cap, sweep_window=cap,
         hbm_budget_gb=args.hbm_budget_gb / len(parts),
