@@ -1232,17 +1232,40 @@ class MultiEngine:
                 )
                 for i, km in enumerate(kmers)
             ]
-        e0 = self.engines[0]
-        codes, lengths, nq = e0._pad_encode(kmers)
+        return self._assemble_counts(*self._dispatch_counts(kmers))
+
+    def _dispatch_counts(self, kmers: list[str]):
+        codes, lengths, nq = self.engines[0]._pad_encode(kmers)
         outs = tuple(
             e._dispatch_single(codes, lengths, nq, True)
             for e in self.engines
         )
-        counts = np.asarray(self._merge_count_jit(outs))[:nq]
+        return kmers, nq, self._merge_count_jit(outs)
+
+    def _assemble_counts(self, kmers, nq, merged) -> list[QueryResult]:
+        counts = np.asarray(merged)[:nq]
         return [
             QueryResult(kmer=km, count=int(counts[i]))
             for i, km in enumerate(kmers)
         ]
+
+    def count_batches(
+        self, batches: list[list[str]]
+    ) -> list[list[QueryResult]]:
+        """Bulk count tier, pipelined like :meth:`query_batches` — the
+        un-pipelined loop left the count tier SLOWER than full
+        attribution on the cohort_big rung (each batch serialized its
+        device step behind the previous batch's transfer+assembly)."""
+        results: list[list[QueryResult]] = []
+        pend = None
+        for kmers in batches:
+            cur = self._dispatch_counts(kmers)
+            if pend is not None:
+                results.append(self._assemble_counts(*pend))
+            pend = cur
+        if pend is not None:
+            results.append(self._assemble_counts(*pend))
+        return results
 
     _expand_rc = QueryEngine._expand_rc
 

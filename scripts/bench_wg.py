@@ -154,8 +154,11 @@ def main() -> int:
             eng.query_batch(b_)
     dt = time.perf_counter() - t1
     t2 = time.perf_counter()
-    for b_ in batches:
-        eng.count_batch(b_)
+    if hasattr(eng, "count_batches"):
+        eng.count_batches(batches)
+    else:
+        for b_ in batches:
+            eng.count_batch(b_)
     dtc = time.perf_counter() - t2
 
     # single-batch breakdown: where does a full-attribution batch's time

@@ -664,3 +664,24 @@ def test_pack_stats_accounting(cohort_setup, monkeypatch):
     t = tiny.pack_stats
     assert t["hits_dense_fallbacks"] + t["hist_dense_fallbacks"] >= 1
     assert t["dense_bytes"] > 0
+
+
+def test_count_batches_pipelined_parity(cohort_setup):
+    """MultiEngine.count_batches (pipelined bulk count tier) returns the
+    same answers as per-batch count_batch."""
+    from readserver_tpu.serve import MultiEngine
+
+    corpus, path = cohort_setup
+    parts, _ = load_cohort(path)
+    eng = MultiEngine(parts, ServeConfig(batch_size=16, max_hits=8))
+    kmers = [
+        alphabet.decode(km)
+        for km in sample_query_kmers(
+            corpus, 48, corpus.spec.kmer_len, seed=77, miss_frac=0.2
+        )
+    ]
+    batches = [kmers[i : i + 16] for i in range(0, 48, 16)]
+    bulk = eng.count_batches(batches)
+    for b_, rs in zip(batches, bulk):
+        ref = eng.count_batch(b_)
+        assert [r.count for r in rs] == [r.count for r in ref]
