@@ -143,7 +143,13 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = qfn(sidx, None, gcodes, glengths)
-    jax.block_until_ready(out)
+        # block EVERY step: queuing dozens of cross-process collective
+        # programs deadlocks the XLA CPU transport's rendezvous when the
+        # processes' dispatch fronts diverge (measured: 16 in-flight
+        # worked, 48 hung past the 600 s group timeout).  The real-chip
+        # serving path blocks per batch anyway (the dispatcher transfers
+        # each batch's results), so this is also the honest shape.
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     qps_global = B * nproc * args.iters / dt
 
