@@ -506,6 +506,7 @@ def main() -> int:
         ("BENCH_cohort_big.json", "value",
          "cohort_big_attribution_queries_per_s"),
         ("BENCH_wire.json", "count_qps", "served_wire_qps"),
+        ("BENCH_wire_chr20.json", "count_qps", "served_wire_chr20_qps"),
     ):
         f = REPO / fname
         if f.exists():

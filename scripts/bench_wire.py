@@ -103,6 +103,8 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--requests-per-client", type=int, default=16)
     ap.add_argument("--modes", default="count,samples")
+    ap.add_argument("--out", default="BENCH_wire.json",
+                    help="output JSON filename (repo root)")
     args = ap.parse_args()
 
     from bench import get_packed, pick_auto_config
@@ -231,7 +233,7 @@ def main() -> int:
             )
     result["value"] = result.get("count_qps", 0)
     # vs device-side search throughput: the dispatcher+JSON overhead factor
-    (REPO / "BENCH_wire.json").write_text(json.dumps(result, indent=2))
+    (REPO / args.out).write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
     return 0
 
