@@ -104,10 +104,17 @@ def main() -> int:
     ap.add_argument("--aux-devices", type=int, default=8,
                     help="secondary oversubscribed rig (recorded with a "
                          "caveat, nprocs 2 and 4); 0 disables")
+    ap.add_argument("--sweep-batches", default="",
+                    help="comma-separated GLOBAL batch sizes: run a "
+                         "2-process batch-amortization sweep only and "
+                         "merge it into the existing BENCH_scaling.json "
+                         "(the per-collective rendezvous is a fixed cost "
+                         "per step, so eff_same_shape should rise with "
+                         "per-step work)")
     args = ap.parse_args()
     nprocs = [int(x) for x in args.nprocs.split(",")]
 
-    def best_group(nproc, local, shards):
+    def best_group(nproc, local, shards, batch=None):
         """Median-of-N group runs, repeats recorded: the 2-core host's
         scheduling of collective rendezvous is bimodal, and a best-of
         statistic amplifies that noise when it lands in a ratio's
@@ -115,7 +122,7 @@ def main() -> int:
         rs = []
         for _ in range(max(args.group_repeats, 1)):
             r = run_group(
-                nproc, local, args.batch, args.iters, args.config,
+                nproc, local, batch or args.batch, args.iters, args.config,
                 num_shards=shards,
             )
             assert r["parity_bad"] == 0
@@ -124,6 +131,35 @@ def main() -> int:
         med = rs[len(rs) // 2]
         med["repeat_values"] = [r["value"] for r in rs]
         return med
+
+    if args.sweep_batches:
+        t0 = time.time()
+        sweep = {}
+        for b in (int(x) for x in args.sweep_batches.split(",")):
+            one = best_group(1, args.devices, args.num_shards, batch=b)
+            two = best_group(2, args.devices // 2, args.num_shards, batch=b)
+            sweep[b] = {
+                "qps_1proc": one["value"],
+                "qps_2proc": two["value"],
+                "eff_same_shape": round(two["value"] / one["value"], 3),
+                "repeat_qps_1proc": one["repeat_values"],
+                "repeat_qps_2proc": two["repeat_values"],
+            }
+            print(f"# batch {b}: eff {sweep[b]['eff_same_shape']}",
+                  file=sys.stderr)
+        out = REPO / "BENCH_scaling.json"
+        result = json.loads(out.read_text()) if out.exists() else {}
+        result["batch_amortization"] = {
+            "note": "2-process same-shape efficiency vs GLOBAL batch: the "
+                    "gRPC rendezvous is a fixed per-collective cost, so "
+                    "efficiency amortizes as per-step work grows — the "
+                    "regime a production batch size actually serves in",
+            "sweep": sweep,
+            "wall_s": round(time.time() - t0, 1),
+        }
+        out.write_text(json.dumps(result, indent=2))
+        print(json.dumps({"batch_amortization": sweep}))
+        return 0
 
     def measure(devices, nproc_list, shards):
         """Same-mesh efficiency: the only varied factor is process count
