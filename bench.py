@@ -338,7 +338,12 @@ def main() -> int:
                 }))
                 return 1
             parity_queries = int(nq)
-        elif min(args.parity_queries, B) and k <= 31:
+        elif min(args.parity_queries, B) and k <= 31 and packed.n <= 5e8:
+            # in-situ oracle only at sub-chr20 scale: the window-multiset
+            # sort costs ~45 min at n=1.9e9, which blows the driver's bench
+            # window if the build-time parity cache is missing (e.g. a
+            # build interrupted between artifact save and cache write) —
+            # the fast/plain cross-check above still guards the run
             nq = min(args.parity_queries, B)
             from readserver_tpu.oracle.naive import window_multiset_counts
 
@@ -483,7 +488,8 @@ def main() -> int:
         "parity_checked": parity_checked,
         "parity_queries": parity_queries,
         "parity_source": (
-            "cached" if parity_counts is not None else "multiset"
+            "cached" if parity_counts is not None
+            else ("multiset" if parity_queries else "path-crosscheck-only")
         ) if parity_checked else None,
         "tiers_kept": sorted(plan.keep),
         "tiers_dropped": list(plan.dropped),
