@@ -521,6 +521,17 @@ def main() -> int:
             except (ValueError, KeyError, TypeError, OSError):
                 pass  # malformed/non-dict/unreadable side JSON: skip, don't
                 # crash a completed measurement run (ADVICE r3)
+    try:
+        # the scaling JSON's headline is the conservative same-shape bound;
+        # carry the deployment-layout ratio too (dp-only cross-host axis —
+        # how make_global_mesh actually deploys; see its "note" field)
+        sc = json.loads((REPO / "BENCH_scaling.json").read_text())
+        dp_only = sc["eff_dp_only_deployment_layout"]
+        recorded["multihost_scaling_deployment_layout"] = min(
+            dp_only.values()
+        )
+    except (ValueError, KeyError, TypeError, OSError, AttributeError):
+        pass
     if recorded:
         result["recorded"] = recorded
     print(json.dumps(result))
