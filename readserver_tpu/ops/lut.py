@@ -46,15 +46,41 @@ def _extend_level(index: DeviceIndex, l, u, level_size: int):
     return nl, nu
 
 
-def build_prefix_lut(index: DeviceIndex, p: int) -> jax.Array:
-    """→ int32 [4^p, 2] on device."""
+def build_prefix_lut(
+    index: DeviceIndex, p: int, max_chunk: int = 1 << 22
+) -> jax.Array:
+    """→ int32 [4^p, 2] on device.
+
+    Levels above ``max_chunk`` entries extend in chunks: one whole-level
+    ``_extend_level`` materializes ~5 gather temporaries of 8·4S·row
+    bytes, which RESOURCE_EXHAUSTs at p=13 (S=16.7M) next to a
+    chr20-sized tier set.  Chunking is exact — each entry's extension
+    depends only on that entry — but must slice PER PREPEND-CHAR c
+    (output is c-major: chunk boundaries inside a c-block would
+    interleave), so each level-ℓ chunk [a:b) produces four output
+    slices k·4^ℓ + [a:b), k = c-1."""
     if not (1 <= p <= 15):
         raise ValueError("prefix LUT order must be in [1, 15]")
     l = index.C[1:5]
     u = index.C[2:6]
     size = 4
     for _ in range(p - 1):
-        l, u = _extend_level(index, l, u, size)
+        if size <= max_chunk:
+            l, u = _extend_level(index, l, u, size)
+        else:
+            parts = [[] for _ in range(8)]  # 4 c-blocks × (l, u)
+            for a in range(0, size, max_chunk):
+                b = min(a + max_chunk, size)
+                cl, cu = _extend_level(index, l[a:b], u[a:b], b - a)
+                for k in range(4):
+                    parts[2 * k].append(cl[k * (b - a) : (k + 1) * (b - a)])
+                    parts[2 * k + 1].append(
+                        cu[k * (b - a) : (k + 1) * (b - a)]
+                    )
+            l = jnp.concatenate([c for k in range(4) for c in parts[2 * k]])
+            u = jnp.concatenate(
+                [c for k in range(4) for c in parts[2 * k + 1]]
+            )
         size *= 4
     from readserver_tpu.ops.search import canonical_empty
 

@@ -101,3 +101,15 @@ def test_lut_with_exact_p_length_queries(setup):
     l, u = f(dev, codes, lengths)
     for b, km in enumerate(kmers):
         assert (int(l[b]), int(u[b])) == fm.backward_search(km), b
+
+
+def test_lut_chunked_build_bit_identical(setup):
+    """Chunked level extension (RESOURCE_EXHAUSTED guard for p>=13 next
+    to a chr20-sized tier set) must be bit-identical to the whole-level
+    build, including ragged last chunks and c-major output order."""
+    _, _, dev = setup
+    for p in [5, 8]:
+        ref = np.asarray(build_prefix_lut(dev, p))
+        for chunk in [64, 100, 1 << 10]:
+            got = np.asarray(build_prefix_lut(dev, p, max_chunk=chunk))
+            assert np.array_equal(ref, got), (p, chunk)
